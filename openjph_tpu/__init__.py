@@ -1,0 +1,8 @@
+"""openjph_tpu: a TPU-native HTJ2K (ISO/IEC 15444-15) codec framework.
+
+JAX/XLA/Pallas compute path with host-side Tier-2 codestream machinery;
+OpenJPH-compatible capability surface.
+"""
+from .codec import decode, encode, Decoder, Encoder  # noqa: F401
+
+__version__ = '0.1.0'

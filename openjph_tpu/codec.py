@@ -1,0 +1,537 @@
+"""Top-level HTJ2K codec: full encode/decode pipelines.
+
+Decode: markers -> geometry -> Tier-2 packet parse -> Tier-1 block
+decode (batched) -> dequantization -> inverse DWT -> inverse color
+transform -> bit-depth conversion.
+Encode is the exact reverse.
+
+The structural flow mirrors ojph_codestream_local.cpp /
+ojph_tile.cpp but operates on whole planes (TPU-first design) instead
+of streaming lines.
+"""
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .coding.decoder import decode_codeblock
+from .coding.encoder import encode_codeblock
+from .core import markers as mk
+from .core.geometry import (ResolutionGeom, SubbandGeom, TileGeom,
+                            build_tile, build_tile_grid)
+from .core.quant import default_irrev_delta, make_irrev_qcd, make_rev_qcd
+from .core.t2 import CodedBlock, encode_precinct, parse_precinct, \
+    precinct_iterator
+from .ops import color as clr
+from .ops import dwt
+
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
+
+@dataclass
+class _TileState:
+    geom: TileGeom
+    # coded[comp][res][band] -> list over the band codeblock grid
+    coded: List[List[List[Optional[List[Optional[CodedBlock]]]]]] = \
+        field(default_factory=list)
+    next_tile_part: int = 0
+    prec_iter: object = None
+    pending: object = None  # next (comp, res, prec) not yet parsed
+
+
+def _tx_from_cb(block: np.ndarray, kmax: int, delta: float,
+                reversible: bool) -> np.ndarray:
+    """Sign-magnitude -> subband samples (gen_rev/irv_tx_from_cb32,
+    ojph_codestream_gen.cpp:124-168)."""
+    mag = (block & 0x7FFFFFFF).astype(np.uint32)
+    neg = (block >> 31).astype(bool)
+    if reversible:
+        val = (mag >> np.uint32(31 - kmax)).astype(np.int32)
+        return np.where(neg, -val, val)
+    val = mag.astype(np.float32) * np.float32(delta)
+    return np.where(neg, -val, val)
+
+
+def _tx_to_cb(plane: np.ndarray, kmax: int, delta_inv: float,
+              reversible: bool):
+    """Subband samples -> sign-magnitude (gen_rev/irv_tx_to_cb32,
+    ojph_codestream_gen.cpp:59-121).  Returns (samples, val_array) where
+    val_array is the magnitude term used for the reference's max_val
+    accounting (it may overflow into bit 31, which the reference keeps)."""
+    if reversible:
+        sign = np.where(plane < 0, np.uint32(0x80000000), np.uint32(0))
+        mag = np.abs(plane.astype(np.int64)).astype(np.uint32)
+        val = mag << np.uint32(31 - kmax)  # wraps mod 2^32 like the C code
+        return sign | val, val
+    t = np.trunc(plane.astype(np.float32) * np.float32(delta_inv))
+    t = t.astype(np.int64)
+    sign = np.where(t < 0, np.uint32(0x80000000), np.uint32(0))
+    val = np.abs(t).astype(np.uint32)
+    return sign | val, val
+
+
+class Decoder:
+    def __init__(self, data: bytes, resilient: bool = False,
+                 skipped_res_for_read: int = 0,
+                 skipped_res_for_recon: int = 0):
+        self.data = data
+        self.resilient = resilient
+        self.hdr = mk.read_main_header(data)
+        self.skip_read = skipped_res_for_read
+        self.skip_recon = min(skipped_res_for_recon, skipped_res_for_read) \
+            if skipped_res_for_recon else skipped_res_for_read
+        # restrict_input_resolution semantics
+        # (ojph_codestream.h:288-306): skip_res_for_read >= for_recon
+        self.tile_rects = build_tile_grid(self.hdr.siz)
+        self.tiles: List[_TileState] = []
+        for i, tr in enumerate(self.tile_rects):
+            geom = build_tile(self.hdr, i, tr)
+            st = _TileState(geom)
+            for comp in geom.comps:
+                per_res = []
+                for res in comp.resolutions:
+                    per_band = []
+                    for b in range(4):
+                        sb = res.bands[b]
+                        if sb is None or sb.empty:
+                            per_band.append(None)
+                        else:
+                            per_band.append([None] *
+                                            (sb.num_cb_x * sb.num_cb_y))
+                    per_res.append(per_band)
+                st.coded.append(per_res)
+            self.tiles.append(st)
+        self._parse_tile_parts()
+
+    # -- Tier-2 ------------------------------------------------------------
+    def _parse_tile_parts(self):
+        """SOT/tile-part loop (local::codestream::read,
+        ojph_codestream_local.cpp:912-1115)."""
+        buf = self.data
+        pos = self.hdr.header_size
+        n = len(buf)
+        while pos + 4 <= n:
+            mrk = struct.unpack_from('>H', buf, pos)[0]
+            if mrk == mk.Marker.EOC:
+                break
+            if mrk != mk.Marker.SOT:
+                if self.resilient:
+                    pos += 1
+                    continue
+                raise ValueError(f'expected SOT, found {mrk:#06x}')
+            sot = mk.Sot.from_bytes(buf[pos + 4: pos + 14])
+            tp_start = pos
+            pos += 12
+            # tile-part header: markers until SOD
+            while pos + 2 <= n:
+                m2 = struct.unpack_from('>H', buf, pos)[0]
+                if m2 == mk.Marker.SOD:
+                    pos += 2
+                    break
+                ln = struct.unpack_from('>H', buf, pos + 2)[0]
+                pos += 2 + ln
+            payload_end = tp_start + (sot.psot if sot.psot else n - tp_start)
+            if payload_end > n and not self.resilient:
+                # the reference throws when the file ends before Psot
+                # (bb_read, ojph_bitbuffer_read.h:79-99)
+                raise EOFError('codestream truncated inside a tile-part')
+            payload_end = min(payload_end, n)
+            try:
+                self._parse_one_tile_part(sot, pos, payload_end - pos)
+            except (ValueError, EOFError):
+                if not self.resilient:
+                    raise
+            pos = payload_end
+
+    def _parse_one_tile_part(self, sot: mk.Sot, pos: int, data_left: int):
+        st = self.tiles[sot.isot]
+        if st.prec_iter is None:
+            st.prec_iter = precinct_iterator(st.geom,
+                                             self.hdr.cod.prog_order)
+        buf = self.data
+        it = st.prec_iter
+        while data_left > 0:
+            if st.pending is not None:
+                cri = st.pending
+                st.pending = None
+            else:
+                try:
+                    cri = next(it)
+                except StopIteration:
+                    break
+            c, r, pidx = cri
+            comp = st.geom.comps[c]
+            if r > comp.num_decomps - min(self.skip_read, comp.num_decomps):
+                # skipped resolution: parse but discard data
+                skip = True
+            else:
+                skip = False
+            res = comp.resolutions[r]
+            cod = self.hdr.get_cod(c)
+            pos, data_left = parse_precinct(
+                res, pidx, st.coded[c][r], buf, pos, data_left,
+                cod.uses_sop, cod.uses_eph, skip_data=skip)
+
+    # -- Tier-1 + reconstruction -------------------------------------------
+    def _decode_band(self, sb: SubbandGeom,
+                     coded: List[Optional[CodedBlock]],
+                     reversible: bool, vert_causal: bool,
+                     dtype) -> np.ndarray:
+        plane = np.zeros((sb.rect.h, sb.rect.w), dtype=dtype)
+        for cb_geom in sb.blocks:
+            i = cb_geom.cb_y * sb.num_cb_x + cb_geom.cb_x
+            cb = coded[i]
+            r = cb_geom.rect
+            w, h = r.w, r.h
+            if cb is None or not cb.data or cb.num_passes == 0 \
+                    or cb.pass_length[0] == 0:
+                continue  # zero block
+            try:
+                dec = decode_codeblock(cb.data, cb.missing_msbs,
+                                       cb.num_passes, cb.pass_length[0],
+                                       cb.pass_length[1], w, h, vert_causal)
+            except ValueError:
+                if self.resilient:
+                    continue
+                raise
+            samples = _tx_from_cb(dec, sb.kmax, sb.delta, reversible)
+            plane[r.y0 - sb.rect.y0: r.y1 - sb.rect.y0,
+                  r.x0 - sb.rect.x0: r.x1 - sb.rect.x0] = samples
+        return plane
+
+    def _reconstruct_comp(self, st: _TileState, c: int) -> np.ndarray:
+        comp = st.geom.comps[c]
+        cod = self.hdr.get_cod(c)
+        reversible = cod.is_reversible
+        dtype = np.int32 if reversible else np.float32
+        skip = min(self.skip_recon, comp.num_decomps)
+        top = comp.num_decomps - skip
+
+        # start from LL of resolution 0
+        res0 = comp.resolutions[0]
+        plane = self._decode_band(res0.bands[0], st.coded[c][0][0],
+                                  reversible, cod.vert_causal, dtype)
+        for r in range(1, top + 1):
+            res = comp.resolutions[r]
+            bands = []
+            for b in (1, 2, 3):
+                bands.append(self._decode_band(
+                    res.bands[b], st.coded[c][r][b], reversible,
+                    cod.vert_causal, dtype))
+            plane = dwt.inv_dwt2d(plane, bands[0], bands[1], bands[2],
+                                  res.rect.x0, res.rect.y0, reversible)
+        return plane
+
+    def decode_tile(self, tile_idx: int) -> List[np.ndarray]:
+        """Returns per-component integer sample planes."""
+        st = self.tiles[tile_idx]
+        siz = self.hdr.siz
+        nc = siz.num_comps
+        planes = [self._reconstruct_comp(st, c) for c in range(nc)]
+        out = []
+        mct = self.hdr.cod.mc_trans == 1 and nc >= 3
+        if mct:
+            rev = self.hdr.get_cod(0).is_reversible
+            if rev:
+                r, g, b = clr.rct_backward(planes[0].astype(np.int64),
+                                           planes[1].astype(np.int64),
+                                           planes[2].astype(np.int64))
+            else:
+                r, g, b = clr.ict_backward(planes[0], planes[1], planes[2])
+            planes[0], planes[1], planes[2] = r, g, b
+        for c in range(nc):
+            bd = siz.comps[c].bit_depth
+            sgn = siz.comps[c].is_signed
+            nlt3 = self.hdr.nlt.type3_for(c)
+            if self.hdr.get_cod(c).is_reversible:
+                out.append(clr.rev_convert_out(planes[c].astype(np.int64),
+                                               bd, sgn, nlt3).astype(
+                                                   np.int32))
+            else:
+                out.append(clr.irv_convert_to_integer(
+                    planes[c], bd, sgn, nlt3).astype(np.int32))
+        return out
+
+    def decode(self) -> List[np.ndarray]:
+        """Decode the full image; returns per-component planes."""
+        siz = self.hdr.siz
+        nc = siz.num_comps
+        full = []
+        for c in range(nc):
+            # reconstruction size accounts for skipped resolutions
+            dx, dy = siz.comps[c].dx, siz.comps[c].dy
+            sk = 1 << min(self.skip_recon,
+                          self.hdr.get_cod(c).num_decomps)
+            fx, fy = dx * sk, dy * sk
+            w = -(-siz.xsiz // fx) - (-(-siz.xosiz // fx))
+            h = -(-siz.ysiz // fy) - (-(-siz.yosiz // fy))
+            full.append(np.zeros((h, w), dtype=np.int32))
+        for st in self.tiles:
+            planes = self.decode_tile(st.geom.idx)
+            for c in range(nc):
+                comp = st.geom.comps[c]
+                skip = min(self.skip_recon, comp.num_decomps)
+                res = comp.resolutions[comp.num_decomps - skip]
+                dx, dy = siz.comps[c].dx, siz.comps[c].dy
+                sk = 1 << skip
+                fx, fy = dx * sk, dy * sk
+                ox = res.rect.x0 - (-(-siz.xosiz // fx))
+                oy = res.rect.y0 - (-(-siz.yosiz // fy))
+                full[c][oy:oy + planes[c].shape[0],
+                        ox:ox + planes[c].shape[1]] = planes[c]
+        return full
+
+
+# ---------------------------------------------------------------------------
+# Encode
+# ---------------------------------------------------------------------------
+
+class Encoder:
+    def __init__(self, siz: mk.Siz, cod: mk.Cod,
+                 qcd: Optional[mk.Qcd] = None,
+                 base_delta: Optional[float] = None,
+                 cocs: Dict[int, mk.Cod] = None,
+                 qccs: Dict[int, mk.Qcd] = None,
+                 nlts: List[mk.NltSegment] = (),
+                 comments: List[mk.Com] = (),
+                 tlm_marker: bool = False,
+                 tilepart_div: int = 0):
+        if siz.xtsiz == 0 and siz.ytsiz == 0:
+            siz.xtsiz = siz.xsiz + siz.xosiz
+            siz.ytsiz = siz.ysiz + siz.yosiz
+        self.siz = siz
+        self.cod = cod
+        self.cocs = cocs or {}
+        self.qccs = qccs or {}
+        self.nlts = list(nlts)
+        self.comments = list(comments)
+        self.tlm_marker = tlm_marker
+        self.tilepart_div = tilepart_div
+        if qcd is None:
+            bd = siz.comps[0].bit_depth
+            if cod.is_reversible:
+                qcd = make_rev_qcd(cod.num_decomps, bd, cod.mc_trans == 1)
+            else:
+                qcd = make_irrev_qcd(cod.num_decomps,
+                                     base_delta or default_irrev_delta(bd))
+        self.qcd = qcd
+        # components whose parameters differ need a QCC
+        for c in range(siz.num_comps):
+            ccod = self.cocs.get(c, cod)
+            if c in self.qccs:
+                continue
+            need = (ccod.num_decomps != cod.num_decomps
+                    or siz.comps[c].bit_depth != siz.comps[0].bit_depth
+                    or siz.comps[c].is_signed != siz.comps[0].is_signed
+                    or ccod.wavelet_kern != cod.wavelet_kern)
+            if need:
+                bd = siz.comps[c].bit_depth
+                if ccod.is_reversible:
+                    self.qccs[c] = make_rev_qcd(
+                        ccod.num_decomps, bd,
+                        cod.mc_trans == 1 and c < 3, comp_idx=c)
+                else:
+                    self.qccs[c] = make_irrev_qcd(
+                        ccod.num_decomps,
+                        base_delta or default_irrev_delta(bd), comp_idx=c)
+        self.hdr = mk.MainHeader()
+        self.hdr.siz = siz
+        self.hdr.cod = cod
+        self.hdr.cocs = self.cocs
+        self.hdr.qcd = self.qcd
+        self.hdr.qccs = self.qccs
+        for seg in self.nlts:
+            self.hdr.nlt.add(seg)
+
+    def _get_cod(self, c):
+        return self.cocs.get(c, self.cod)
+
+    def _get_qcd(self, c):
+        return self.qccs.get(c, self.qcd)
+
+    def encode(self, planes: List[np.ndarray]) -> bytes:
+        """Encode per-component sample planes into a .j2c codestream."""
+        siz = self.siz
+        header = mk.write_main_header(
+            siz, self.cod, self.qcd,
+            cocs=list(self.cocs.values()), qccs=list(self.qccs.values()),
+            nlts=self.nlts, comments=self.comments,
+            version_comment=b'OpenJPH-TPU Ver 0.1.0.')
+        tile_rects = build_tile_grid(siz)
+        body = bytearray()
+        tlm_pairs = []
+        for idx, tr in enumerate(tile_rects):
+            packets = self._encode_tile(idx, tr, planes)
+            payload = b''.join(packets)
+            sot = mk.Sot(idx, len(payload) + 14, 0, 1)
+            body += sot.to_bytes()
+            body += struct.pack('>H', mk.Marker.SOD)
+            body += payload
+            tlm_pairs.append((idx, len(payload) + 14))
+        out = header
+        if self.tlm_marker:
+            out += mk.Tlm(tlm_pairs).to_bytes()
+        out += bytes(body)
+        out += struct.pack('>H', mk.Marker.EOC)
+        return out
+
+    def _encode_tile(self, idx: int, tr, planes: List[np.ndarray]) \
+            -> List[bytes]:
+        siz = self.siz
+        geom = build_tile(self.hdr, idx, tr)
+        nc = siz.num_comps
+
+        # extract tile planes, convert, color transform
+        tplanes = []
+        for c in range(nc):
+            comp = geom.comps[c]
+            dx, dy = siz.comps[c].dx, siz.comps[c].dy
+            ox = comp.rect.x0 - (-(-siz.xosiz // dx))
+            oy = comp.rect.y0 - (-(-siz.yosiz // dy))
+            sub = planes[c][oy:oy + comp.rect.h, ox:ox + comp.rect.w]
+            bd = siz.comps[c].bit_depth
+            sgn = siz.comps[c].is_signed
+            nlt3 = self.hdr.nlt.type3_for(c)
+            if self._get_cod(c).is_reversible:
+                tplanes.append(clr.rev_convert_in(sub, bd, sgn, nlt3))
+            else:
+                tplanes.append(clr.irv_convert_to_float(sub, bd, sgn, nlt3))
+        if self.cod.mc_trans == 1 and nc >= 3:
+            if self._get_cod(0).is_reversible:
+                y, cb, cr = clr.rct_forward(tplanes[0].astype(np.int64),
+                                            tplanes[1].astype(np.int64),
+                                            tplanes[2].astype(np.int64))
+                tplanes[0] = y.astype(np.int32)
+                tplanes[1] = cb.astype(np.int32)
+                tplanes[2] = cr.astype(np.int32)
+            else:
+                y, cb, cr = clr.ict_forward(tplanes[0], tplanes[1],
+                                            tplanes[2])
+                tplanes[0], tplanes[1], tplanes[2] = y, cb, cr
+
+        # forward DWT + block coding per component
+        coded = []
+        for c in range(nc):
+            coded.append(self._encode_comp(geom, c, tplanes[c]))
+
+        # emit packets in progression order
+        packets = []
+        cod = self.cod
+        for (c, r, pidx) in precinct_iterator(geom, cod.prog_order):
+            res = geom.comps[c].resolutions[r]
+            packets.append(encode_precinct(res, pidx, coded[c][r],
+                                           cod.uses_eph, cod.uses_sop))
+        return packets
+
+    def _encode_comp(self, geom: TileGeom, c: int, plane: np.ndarray):
+        cod = self._get_cod(c)
+        reversible = cod.is_reversible
+        comp = geom.comps[c]
+        # analysis pyramid
+        band_planes = {}  # (res, band) -> plane
+        cur = plane
+        for r in range(comp.num_decomps, 0, -1):
+            res = comp.resolutions[r]
+            ll, hl, lh, hh = dwt.fwd_dwt2d(cur, res.rect.x0, res.rect.y0,
+                                           reversible)
+            band_planes[(r, 1)] = hl
+            band_planes[(r, 2)] = lh
+            band_planes[(r, 3)] = hh
+            cur = ll
+        band_planes[(0, 0)] = cur
+
+        per_res = []
+        for r in range(comp.num_decomps + 1):
+            res = comp.resolutions[r]
+            per_band = []
+            for b in range(4):
+                sb = res.bands[b]
+                if sb is None or sb.empty:
+                    per_band.append(None)
+                    continue
+                bp = band_planes[(r, b)]
+                delta_inv = 1.0 / sb.delta if not reversible else 0.0
+                smag, vals = _tx_to_cb(bp, sb.kmax, delta_inv, reversible)
+                blocks: List[Optional[CodedBlock]] = []
+                for g in sb.blocks:
+                    sy = slice(g.rect.y0 - sb.rect.y0,
+                               g.rect.y1 - sb.rect.y0)
+                    sx = slice(g.rect.x0 - sb.rect.x0,
+                               g.rect.x1 - sb.rect.x0)
+                    sub = smag[sy, sx]
+                    cb = CodedBlock()
+                    mv = int(np.bitwise_or.reduce(vals[sy, sx].ravel())) \
+                        if sub.size else 0
+                    if mv >= (1 << (31 - sb.kmax)):
+                        cb.missing_msbs = sb.kmax - 1
+                        cb.num_passes = 1
+                        cb.data = encode_codeblock(sub, sb.kmax - 1,
+                                                   g.rect.w, g.rect.h)
+                        cb.pass_length[0] = len(cb.data)
+                    blocks.append(cb)
+                per_band.append(blocks)
+            per_res.append(per_band)
+        return per_res
+
+
+# ---------------------------------------------------------------------------
+# Convenience API
+# ---------------------------------------------------------------------------
+
+def decode(data: bytes, resilient: bool = False,
+           skip_res: int = 0) -> List[np.ndarray]:
+    """Decode a .j2c codestream to per-component numpy planes."""
+    return Decoder(data, resilient=resilient,
+                   skipped_res_for_read=skip_res,
+                   skipped_res_for_recon=skip_res).decode()
+
+
+def encode(planes, bit_depth: int = 8, is_signed: bool = False,
+           reversible: bool = True, num_decomps: int = 5,
+           prog_order: int = mk.ProgOrder.RPCL,
+           color_transform: Optional[bool] = None,
+           base_delta: Optional[float] = None,
+           block_size=(64, 64), tlm_marker: bool = False,
+           tile_size=None, tile_offset=(0, 0), image_offset=(0, 0),
+           precincts=None, downsamplings=None) -> bytes:
+    """Encode per-component numpy planes into a .j2c codestream."""
+    if isinstance(planes, np.ndarray):
+        planes = [planes[..., i] for i in range(planes.shape[-1])] \
+            if planes.ndim == 3 else [planes]
+    nc = len(planes)
+    siz = mk.Siz()
+    siz.xosiz, siz.yosiz = image_offset
+    siz.xsiz = planes[0].shape[1] + siz.xosiz
+    siz.ysiz = planes[0].shape[0] + siz.yosiz
+    if tile_size is not None:
+        siz.xtsiz, siz.ytsiz = tile_size
+        siz.xtosiz, siz.ytosiz = tile_offset
+    for c in range(nc):
+        ds = downsamplings[c] if downsamplings else (1, 1)
+        siz.comps.append(mk.CompInfo(bit_depth, is_signed, ds[0], ds[1]))
+    cod = mk.Cod()
+    cod.prog_order = prog_order
+    cod.num_decomps = num_decomps
+    cod.log_block_w = block_size[0].bit_length() - 1
+    cod.log_block_h = block_size[1].bit_length() - 1
+    cod.wavelet_kern = mk.DWT_REV53 if reversible else mk.DWT_IRV97
+    if color_transform is None:
+        color_transform = (nc >= 3 and not any(
+            (siz.comps[c].dx != 1 or siz.comps[c].dy != 1)
+            for c in range(3))) if nc >= 3 else False
+    cod.mc_trans = 1 if color_transform else 0
+    if precincts is not None:
+        cod.scod |= 1
+        ps = []
+        for r in range(num_decomps + 1):
+            pw, ph = precincts[min(r, len(precincts) - 1)]
+            ps.append((pw.bit_length() - 1) | ((ph.bit_length() - 1) << 4))
+        # reference stores precincts from res 0 upward
+        cod.precinct_sizes = ps
+    enc = Encoder(siz, cod, base_delta=base_delta, tlm_marker=tlm_marker)
+    return enc.encode([np.asarray(p) for p in planes])

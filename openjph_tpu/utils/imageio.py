@@ -1,0 +1,131 @@
+"""Image file I/O: PGM/PPM (binary, <=16 bit), PFM, YUV, RAW.
+
+Mirrors the capability set of the reference app layer
+(/root/reference/src/apps/common/ojph_img_io.h:66-780) in NumPy.
+"""
+from __future__ import annotations
+
+import re
+import struct
+from typing import List, Tuple
+
+import numpy as np
+
+
+def read_pnm(path: str) -> np.ndarray:
+    """Read a binary PGM (P5) or PPM (P6); returns [h, w] or [h, w, 3]."""
+    with open(path, 'rb') as f:
+        data = f.read()
+    m = re.match(rb'(P[56])\s+(?:#.*\s+)*(\d+)\s+(\d+)\s+(\d+)\s', data)
+    if not m:
+        raise ValueError('not a binary PGM/PPM')
+    magic, w, h, maxval = m.group(1), int(m.group(2)), int(m.group(3)), \
+        int(m.group(4))
+    off = m.end()
+    nc = 3 if magic == b'P6' else 1
+    if maxval < 256:
+        arr = np.frombuffer(data, dtype=np.uint8, count=w * h * nc,
+                            offset=off)
+    else:
+        arr = np.frombuffer(data, dtype='>u2', count=w * h * nc,
+                            offset=off).astype(np.uint16)
+    arr = arr.reshape(h, w, nc) if nc == 3 else arr.reshape(h, w)
+    return arr
+
+
+def write_pnm(path: str, img: np.ndarray, maxval: int = None):
+    nc = 1 if img.ndim == 2 else img.shape[2]
+    h, w = img.shape[:2]
+    if maxval is None:
+        maxval = 255 if img.dtype == np.uint8 else 65535
+    magic = b'P6' if nc == 3 else b'P5'
+    with open(path, 'wb') as f:
+        f.write(magic + b'\n%d %d\n%d\n' % (w, h, maxval))
+        if maxval < 256:
+            f.write(img.astype(np.uint8).tobytes())
+        else:
+            f.write(img.astype('>u2').tobytes())
+
+
+def read_raw(path: str, width: int, height: int, bit_depth: int,
+             is_signed: bool) -> np.ndarray:
+    """Little-endian raw samples, as ojph's .raw format
+    (ojph_img_io.h raw_in)."""
+    nbytes = (bit_depth + 7) // 8
+    kinds = {1: 'i1' if is_signed else 'u1',
+             2: '<i2' if is_signed else '<u2',
+             3: None,
+             4: '<i4' if is_signed else '<u4'}
+    if nbytes == 3:
+        raw = np.fromfile(path, dtype=np.uint8).reshape(height, width, 3)
+        v = (raw[..., 0].astype(np.uint32)
+             | (raw[..., 1].astype(np.uint32) << 8)
+             | (raw[..., 2].astype(np.uint32) << 16))
+        if is_signed:
+            v = v.astype(np.int32)
+            v = np.where(v >= (1 << 23), v - (1 << 24), v)
+        return v.astype(np.int32)
+    return np.fromfile(path, dtype=kinds[nbytes]).reshape(height, width) \
+        .astype(np.int64 if bit_depth > 31 else np.int32)
+
+
+def write_raw(path: str, img: np.ndarray, bit_depth: int, is_signed: bool):
+    nbytes = (bit_depth + 7) // 8
+    if nbytes == 3:
+        v = img.astype(np.int64) & 0xFFFFFF
+        out = np.empty(img.shape + (3,), dtype=np.uint8)
+        out[..., 0] = v & 0xFF
+        out[..., 1] = (v >> 8) & 0xFF
+        out[..., 2] = (v >> 16) & 0xFF
+        out.tofile(path)
+        return
+    kinds = {1: 'i1' if is_signed else 'u1',
+             2: '<i2' if is_signed else '<u2',
+             4: '<i4' if is_signed else '<u4'}
+    img.astype(kinds[nbytes]).tofile(path)
+
+
+def read_yuv(path: str, width: int, height: int, bit_depth: int,
+             downsamplings: List[Tuple[int, int]]) -> List[np.ndarray]:
+    """Planar YUV; per-component downsampling like yuv_in."""
+    dt = np.uint8 if bit_depth <= 8 else np.dtype('<u2')
+    raw = np.fromfile(path, dtype=dt)
+    comps, off = [], 0
+    for (dx, dy) in downsamplings:
+        w, h = (width + dx - 1) // dx, (height + dy - 1) // dy
+        comps.append(raw[off:off + w * h].reshape(h, w).astype(np.int32))
+        off += w * h
+    return comps
+
+
+def write_yuv(path: str, comps: List[np.ndarray], bit_depth: int):
+    dt = np.uint8 if bit_depth <= 8 else np.dtype('<u2')
+    with open(path, 'wb') as f:
+        for c in comps:
+            f.write(c.astype(dt).tobytes())
+
+
+def read_pfm(path: str) -> np.ndarray:
+    with open(path, 'rb') as f:
+        data = f.read()
+    m = re.match(rb'(P[Ff])\s+(\d+)\s+(\d+)\s+([-+0-9.eE]+)\s', data)
+    if not m:
+        raise ValueError('not a PFM')
+    nc = 3 if m.group(1) == b'PF' else 1
+    w, h = int(m.group(2)), int(m.group(3))
+    scale = float(m.group(4))
+    dt = '<f4' if scale < 0 else '>f4'
+    arr = np.frombuffer(data, dtype=dt, count=w * h * nc, offset=m.end())
+    arr = arr.reshape(h, w, nc) if nc == 3 else arr.reshape(h, w)
+    return arr[::-1]  # PFM stores bottom-up
+
+
+def write_pfm(path: str, img: np.ndarray, little_endian: bool = True):
+    nc = 1 if img.ndim == 2 else img.shape[2]
+    h, w = img.shape[:2]
+    magic = b'PF' if nc == 3 else b'Pf'
+    scale = -1.0 if little_endian else 1.0
+    with open(path, 'wb') as f:
+        f.write(magic + b'\n%d %d\n%f\n' % (w, h, scale))
+        dt = '<f4' if little_endian else '>f4'
+        f.write(img[::-1].astype(dt).tobytes())
