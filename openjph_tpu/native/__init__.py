@@ -1,0 +1,93 @@
+"""Native (C++) host kernels, built on demand with g++ and bound via
+ctypes.  These cover the byte-level serial work that feeds/drains the
+TPU device batches (SURVEY.md §7: byte packing stays on the host, in
+C++ when speed matters).
+
+Falls back silently to the numpy implementations when no compiler is
+available; callers use `have_native()` / the wrappers below.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, 'ojtpu_native.cpp')
+_SO = os.path.join(_DIR, '_ojtpu_native.so')
+_lock = threading.Lock()
+_lib = None
+_failed = False
+
+
+def _build() -> bool:
+    if os.path.exists(_SO) and \
+            os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return True
+    try:
+        subprocess.run(
+            ['g++', '-O3', '-march=native', '-shared', '-fPIC',
+             '-o', _SO + '.tmp', _SRC],
+            check=True, capture_output=True)
+        os.replace(_SO + '.tmp', _SO)
+        return True
+    except (OSError, subprocess.CalledProcessError):
+        return False
+
+
+def _load():
+    global _lib, _failed
+    with _lock:
+        if _lib is not None or _failed:
+            return _lib
+        if not _build():
+            _failed = True
+            return None
+        lib = ctypes.CDLL(_SO)
+        lib.prep_cleanup_streams.restype = None
+        lib.prep_cleanup_streams.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64]
+        _lib = lib
+        return _lib
+
+
+def have_native() -> bool:
+    return _load() is not None
+
+
+def prep_cleanup_streams(datas, lcups, scups):
+    """Native batch unstuffer; same contract as
+    bitprep.prep_cleanup_streams (returns dict of uint32 [N, W])."""
+    lib = _load()
+    assert lib is not None
+    n = len(datas)
+    lcups = np.ascontiguousarray(lcups, dtype=np.int64)
+    scups = np.ascontiguousarray(scups, dtype=np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    for i, d in enumerate(datas):
+        offsets[i + 1] = offsets[i] + len(d)
+    blob = b''.join(bytes(d) for d in datas)
+    data = np.frombuffer(blob, dtype=np.uint8)
+
+    def words_for(bits_max):
+        return int((bits_max + 31) // 32 + 2)
+
+    mel_w = words_for(int((scups - 1).max()) * 8) if n else 3
+    vlc_w = words_for(4 + int((scups - 2).max()) * 8) if n else 3
+    ms_w = words_for(int((lcups - scups).max()) * 8) if n else 3
+    mel = np.zeros((n, mel_w), dtype=np.uint32)
+    vlc = np.zeros((n, vlc_w), dtype=np.uint32)
+    ms = np.zeros((n, ms_w), dtype=np.uint32)
+    lib.prep_cleanup_streams(
+        data.ctypes.data, offsets.ctypes.data, lcups.ctypes.data,
+        scups.ctypes.data, n,
+        mel.ctypes.data, mel_w, vlc.ctypes.data, vlc_w,
+        ms.ctypes.data, ms_w)
+    return {'mel': mel, 'vlc': vlc, 'ms': ms}

@@ -70,6 +70,15 @@ def _pack_words(dense: np.ndarray, guard_ones: bool) -> np.ndarray:
 
 def prep_cleanup_streams(datas: List[bytes], lcups: np.ndarray,
                          scups: np.ndarray):
+    """Batch unstuffer: native C++ when available, numpy otherwise."""
+    from .. import native
+    if native.have_native():
+        return native.prep_cleanup_streams(datas, lcups, scups)
+    return prep_cleanup_streams_np(datas, lcups, scups)
+
+
+def prep_cleanup_streams_np(datas: List[bytes], lcups: np.ndarray,
+                            scups: np.ndarray):
     """Build the three dense streams for a batch of cleanup segments.
 
     Returns dict with 'mel', 'vlc', 'ms' uint32 word arrays [N, W_*].
