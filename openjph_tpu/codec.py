@@ -259,6 +259,12 @@ class Decoder:
 
     def decode(self) -> List[np.ndarray]:
         """Decode the full image; returns per-component planes."""
+        return self._assemble(
+            {st.geom.idx: self.decode_tile(st.geom.idx)
+             for st in self.tiles})
+
+    def _assemble(self, tile_planes) -> List[np.ndarray]:
+        """Place per-tile component planes onto the full canvas."""
         siz = self.hdr.siz
         nc = siz.num_comps
         full = []
@@ -272,7 +278,7 @@ class Decoder:
             h = -(-siz.ysiz // fy) - (-(-siz.yosiz // fy))
             full.append(np.zeros((h, w), dtype=np.int32))
         for st in self.tiles:
-            planes = self.decode_tile(st.geom.idx)
+            planes = tile_planes[st.geom.idx]
             for c in range(nc):
                 comp = st.geom.comps[c]
                 skip = min(self.skip_recon, comp.num_decomps)

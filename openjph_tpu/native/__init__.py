@@ -54,6 +54,12 @@ def _load():
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64]
+        lib.pack_cleanup_segments.restype = None
+        lib.pack_cleanup_segments.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -62,9 +68,12 @@ def have_native() -> bool:
     return _load() is not None
 
 
-def prep_cleanup_streams(datas, lcups, scups):
+def prep_cleanup_streams(datas, lcups, scups, min_words=None):
     """Native batch unstuffer; same contract as
-    bitprep.prep_cleanup_streams (returns dict of uint32 [N, W])."""
+    bitprep.prep_cleanup_streams (returns dict of uint32 [N, W]).
+
+    min_words: optional (mel_w, vlc_w, ms_w) lower bounds so callers
+    can bucket widths and reuse compiled kernels across frames."""
     lib = _load()
     assert lib is not None
     n = len(datas)
@@ -82,6 +91,10 @@ def prep_cleanup_streams(datas, lcups, scups):
     mel_w = words_for(int((scups - 1).max()) * 8) if n else 3
     vlc_w = words_for(4 + int((scups - 2).max()) * 8) if n else 3
     ms_w = words_for(int((lcups - scups).max()) * 8) if n else 3
+    if min_words is not None:
+        mel_w = max(mel_w, min_words[0])
+        vlc_w = max(vlc_w, min_words[1])
+        ms_w = max(ms_w, min_words[2])
     mel = np.zeros((n, mel_w), dtype=np.uint32)
     vlc = np.zeros((n, vlc_w), dtype=np.uint32)
     ms = np.zeros((n, ms_w), dtype=np.uint32)
@@ -91,3 +104,32 @@ def prep_cleanup_streams(datas, lcups, scups):
         mel.ctypes.data, mel_w, vlc.ctypes.data, vlc_w,
         ms.ctypes.data, ms_w)
     return {'mel': mel, 'vlc': vlc, 'ms': ms}
+
+
+def pack_cleanup_segments(mel_e, vlc_c, vlc_l, ms_v, ms_l, pairs_real,
+                          out_stride):
+    """Pack device-emitted records into cleanup segments.
+
+    mel_e [N, S, 3] int8, vlc_c [N, S, 6] uint16, vlc_l [N, S, 6]
+    uint8, ms_v [N, S, 8] uint32, ms_l [N, S, 8] uint8, pairs_real [N]
+    int64.  Returns (out [N, out_stride] uint8, lens [N] int64);
+    lens[i] == 0 flags overflow (caller falls back to the scalar
+    encoder).
+    """
+    lib = _load()
+    assert lib is not None
+    n, s = mel_e.shape[:2]
+    mel_e = np.ascontiguousarray(mel_e, np.int8)
+    vlc_c = np.ascontiguousarray(vlc_c, np.uint16)
+    vlc_l = np.ascontiguousarray(vlc_l, np.uint8)
+    ms_v = np.ascontiguousarray(ms_v, np.uint32)
+    ms_l = np.ascontiguousarray(ms_l, np.uint8)
+    pairs_real = np.ascontiguousarray(pairs_real, np.int64)
+    out = np.zeros((n, out_stride), np.uint8)
+    lens = np.zeros(n, np.int64)
+    lib.pack_cleanup_segments(
+        n, s, s, mel_e.ctypes.data, vlc_c.ctypes.data,
+        vlc_l.ctypes.data, ms_v.ctypes.data, ms_l.ctypes.data,
+        pairs_real.ctypes.data, out.ctypes.data, out_stride,
+        lens.ctypes.data)
+    return out, lens

@@ -106,3 +106,205 @@ void prep_cleanup_streams(const uint8_t* data, const int64_t* offsets,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Cleanup-segment byte packers (encode side).  Port of the reference's
+// MEL / backward-VLC / MagSgn emitters (ojph_block_encoder.cpp:273-533)
+// fed from device-computed per-quad-pair records.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int kMelExp[13] = {0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 4, 5};
+
+struct MelEnc {  // ojph_block_encoder.cpp:273-347
+  uint8_t buf[4096];
+  int len = 0;
+  int remaining_bits = 8;
+  uint32_t tmp = 0;
+  int run = 0;
+  int k = 0;
+  int threshold = 1;
+  inline void emit_bit(int v) {
+    tmp = (tmp << 1) + static_cast<uint32_t>(v);
+    if (--remaining_bits == 0) {
+      buf[len++] = static_cast<uint8_t>(tmp);
+      remaining_bits = (tmp == 0xFF) ? 7 : 8;
+      tmp = 0;
+    }
+  }
+  inline void encode(bool bit) {
+    if (!bit) {
+      if (++run >= threshold) {
+        emit_bit(1);
+        run = 0;
+        k = (k + 1 < 12) ? k + 1 : 12;
+        threshold = 1 << kMelExp[k];
+      }
+    } else {
+      emit_bit(0);
+      for (int t = kMelExp[k] - 1; t >= 0; --t) emit_bit((run >> t) & 1);
+      run = 0;
+      k = (k - 1 > 0) ? k - 1 : 0;
+      threshold = 1 << kMelExp[k];
+    }
+  }
+};
+
+struct VlcEnc {  // backward-growing, ojph_block_encoder.cpp:352-407
+  uint8_t buf[4096];
+  int len = 0;  // bytes in emission order (reverse of file order)
+  int used_bits = 4;
+  uint32_t tmp = 0xF;
+  bool last_gt_8f = true;
+  inline void encode(uint32_t cwd, int cwd_len) {
+    while (cwd_len > 0) {
+      int avail = 8 - (last_gt_8f ? 1 : 0) - used_bits;
+      int t = (avail < cwd_len) ? avail : cwd_len;
+      tmp |= (cwd & ((1u << t) - 1)) << used_bits;
+      used_bits += t;
+      avail -= t;
+      cwd_len -= t;
+      cwd >>= t;
+      if (avail == 0) {
+        if (last_gt_8f && tmp != 0x7F) {
+          last_gt_8f = false;
+          continue;
+        }
+        buf[len++] = static_cast<uint8_t>(tmp);
+        last_gt_8f = tmp > 0x8F;
+        tmp = 0;
+        used_bits = 0;
+      }
+    }
+  }
+};
+
+struct MsEnc {  // forward MagSgn, ojph_block_encoder.cpp:446-533
+  uint8_t* buf;
+  int64_t len = 0;
+  int max_bits = 8;
+  uint64_t tmp = 0;
+  int used_bits = 0;
+  explicit MsEnc(uint8_t* b) : buf(b) {}
+  inline void encode(uint32_t cwd, int cwd_len) {
+    while (cwd_len > 0) {
+      int t = max_bits - used_bits;
+      if (cwd_len < t) t = cwd_len;
+      tmp |= static_cast<uint64_t>(cwd & ((1u << t) - 1)) << used_bits;
+      used_bits += t;
+      cwd >>= t;
+      cwd_len -= t;
+      if (used_bits >= max_bits) {
+        buf[len++] = static_cast<uint8_t>(tmp);
+        max_bits = (tmp == 0xFF) ? 7 : 8;
+        tmp = 0;
+        used_bits = 0;
+      }
+    }
+  }
+  inline void terminate() {
+    if (used_bits) {
+      int t = max_bits - used_bits;
+      tmp |= (0xFFu & ((1u << t) - 1)) << used_bits;
+      used_bits += t;
+      if (tmp != 0xFF) buf[len++] = static_cast<uint8_t>(tmp);
+    } else if (max_bits == 7) {
+      --len;
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Pack device-computed records into cleanup segments.
+//
+// Per block i and pair step s (raster over quad-pair columns then
+// rows; only the first pairs_real[i] steps are read):
+//   mel_evts[i, s, 0..2]  : -1 = absent, else 0/1 event bit, in order
+//                           (quad0 rho, quad1 rho, u event)
+//   vlc_cwds/vlc_lens[i, s, 0..5] : VLC words in emission order
+//   ms_vals/ms_lens[i, s, 0..7]   : MagSgn words (quad0 s0..s3, quad1)
+// Outputs: out[i * out_stride ...], out_lens[i] (0 if overflow).
+void pack_cleanup_segments(
+    int64_t n, int64_t steps, int64_t pairs_stride,
+    const int8_t* mel_evts, const uint16_t* vlc_cwds,
+    const uint8_t* vlc_lens, const uint32_t* ms_vals,
+    const uint8_t* ms_lens, const int64_t* pairs_real,
+    uint8_t* out, int64_t out_stride, int64_t* out_lens) {
+  (void)steps;
+  for (int64_t i = 0; i < n; ++i) {
+    MelEnc mel;
+    VlcEnc vlc;
+    uint8_t* obuf = out + i * out_stride;
+    MsEnc ms(obuf);
+    const int64_t np = pairs_real[i];
+    const int8_t* me = mel_evts + i * pairs_stride * 3;
+    const uint16_t* vc = vlc_cwds + i * pairs_stride * 6;
+    const uint8_t* vl = vlc_lens + i * pairs_stride * 6;
+    const uint32_t* mv = ms_vals + i * pairs_stride * 8;
+    const uint8_t* ml = ms_lens + i * pairs_stride * 8;
+    for (int64_t s = 0; s < np; ++s) {
+      // stream order within the pair mirrors ojph_block_encoder.cpp:
+      // quad0: vlc tuple, mel rho event, magsgn x4; quad1 same;
+      // then the u-event + u codes.
+      const int8_t* e = me + s * 3;
+      const uint16_t* c = vc + s * 6;
+      const uint8_t* l = vl + s * 6;
+      const uint32_t* v = mv + s * 8;
+      const uint8_t* vlen = ml + s * 8;
+      vlc.encode(c[0], l[0]);
+      if (e[0] >= 0) mel.encode(e[0] != 0);
+      for (int j = 0; j < 4; ++j) ms.encode(v[j], vlen[j]);
+      vlc.encode(c[1], l[1]);
+      if (e[1] >= 0) mel.encode(e[1] != 0);
+      for (int j = 4; j < 8; ++j) ms.encode(v[j], vlen[j]);
+      if (e[2] >= 0) mel.encode(e[2] != 0);
+      vlc.encode(c[2], l[2]);
+      vlc.encode(c[3], l[3]);
+      vlc.encode(c[4], l[4]);
+      vlc.encode(c[5], l[5]);
+    }
+    // terminate (ojph_block_encoder.cpp:412-441)
+    if (mel.run > 0) mel.emit_bit(1);
+    const uint32_t mel_tmp = (mel.tmp << mel.remaining_bits) & 0xFF;
+    const uint32_t mel_mask = (0xFF << mel.remaining_bits) & 0xFF;
+    const uint32_t vlc_mask =
+        vlc.used_bits ? (0xFFu >> (8 - vlc.used_bits)) : 0;
+    int mel_len = mel.len;
+    int vlc_len = vlc.len;
+    bool fused = false;
+    if ((mel_mask | vlc_mask) != 0) {
+      const uint32_t fuse = mel_tmp | vlc.tmp;
+      if (((((fuse ^ mel_tmp) & mel_mask) |
+            ((fuse ^ vlc.tmp) & vlc_mask)) == 0) &&
+          fuse != 0xFF && vlc.len > 0) {
+        mel.buf[mel_len++] = static_cast<uint8_t>(fuse);
+        fused = true;
+      } else {
+        mel.buf[mel_len++] = static_cast<uint8_t>(mel_tmp);
+        vlc.buf[vlc_len++] = static_cast<uint8_t>(vlc.tmp);
+      }
+    }
+    (void)fused;
+    ms.terminate();
+    const int64_t num_bytes = mel_len + vlc_len + 1;  // + 0xFF sentinel
+    const int64_t total = ms.len + num_bytes;
+    if (total + 2 > out_stride || num_bytes > 4079) {
+      out_lens[i] = 0;  // overflow: caller falls back
+      continue;
+    }
+    uint8_t* pos = obuf + ms.len;
+    for (int j = 0; j < mel_len; ++j) *pos++ = mel.buf[j];
+    for (int j = vlc_len - 1; j >= 0; --j) *pos++ = vlc.buf[j];
+    *pos = 0xFF;  // sentinel, replaced by scup word below
+    obuf[total - 1] = static_cast<uint8_t>((num_bytes >> 4) & 0xFF);
+    obuf[total - 2] =
+        static_cast<uint8_t>((obuf[total - 2] & 0xF0) | (num_bytes & 0xF));
+    out_lens[i] = total;
+  }
+}
+
+}  // extern "C"

@@ -69,12 +69,25 @@ def _pack_words(dense: np.ndarray, guard_ones: bool) -> np.ndarray:
 
 
 def prep_cleanup_streams(datas: List[bytes], lcups: np.ndarray,
-                         scups: np.ndarray):
-    """Batch unstuffer: native C++ when available, numpy otherwise."""
+                         scups: np.ndarray, min_words=None):
+    """Batch unstuffer: native C++ when available, numpy otherwise.
+
+    min_words: optional (mel_w, vlc_w, ms_w) lower bounds for bucketed
+    output widths (see native.prep_cleanup_streams)."""
     from .. import native
     if native.have_native():
-        return native.prep_cleanup_streams(datas, lcups, scups)
-    return prep_cleanup_streams_np(datas, lcups, scups)
+        return native.prep_cleanup_streams(datas, lcups, scups,
+                                           min_words=min_words)
+    out = prep_cleanup_streams_np(datas, lcups, scups)
+    if min_words is not None:
+        for k, mw in zip(('mel', 'vlc', 'ms'), min_words):
+            arr = out[k]
+            if arr.shape[1] < mw:
+                fill = 0xFFFFFFFF if k in ('mel', 'ms') else 0
+                pad = np.full((arr.shape[0], mw - arr.shape[1]), fill,
+                              dtype=np.uint32)
+                out[k] = np.concatenate([arr, pad], axis=1)
+    return out
 
 
 def prep_cleanup_streams_np(datas: List[bytes], lcups: np.ndarray,

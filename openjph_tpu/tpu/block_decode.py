@@ -265,7 +265,7 @@ def _step1(mel_w, vlc_w, qw: int, qh: int):
 # (ojph_block_decoder32.cpp:1089-1316)
 # ---------------------------------------------------------------------------
 
-def _step2(ms_w, inf, u, p, qw: int, qh: int, width: int):
+def _step2(ms_w, inf, u, p, qw: int, qh: int, width: int, qh_lim=None):
     n = ms_w.shape[0]
     steps = qh * qw
     qxs = np.tile(np.arange(qw), qh).astype(np.int32)
@@ -274,10 +274,13 @@ def _step2(ms_w, inf, u, p, qw: int, qh: int, width: int):
     row_start = (qxs == 0)
     row_end = (qxs == qw - 1)
     two_cols = (qxs * 2 + 1) < width
+    if qh_lim is None:
+        qh_lim = jnp.full((n,), qh, jnp.int32)
     # per-step quad records, gathered on host side of the scan
     inf_s = jnp.transpose(inf[:, :, :qw].reshape(n, steps), (1, 0))
     u_s = jnp.transpose(u[:, :, :qw].reshape(n, steps), (1, 0))
-    xs = (jnp.asarray(qxs), jnp.asarray(initial), jnp.asarray(row_start),
+    xs = (jnp.asarray(qxs), jnp.asarray(qys), jnp.asarray(initial),
+          jnp.asarray(row_start),
           jnp.asarray(row_end), jnp.asarray(two_cols), inf_s, u_s)
 
     pu = p.astype(_U32)
@@ -289,7 +292,7 @@ def _step2(ms_w, inf, u, p, qw: int, qh: int, width: int):
               jnp.zeros((n,), bool))
 
     def step(carry, x):
-        qx, initial, row_start, row_end, two_cols, q_inf, u_q = x
+        qx, qy, initial, row_start, row_end, two_cols, q_inf, u_q = x
         ms_st, scr, newv, prev_vn, err = carry
         gamma = q_inf & _u32(0xF0)
         gamma = gamma & (gamma - _u32(0x10))
@@ -299,7 +302,9 @@ def _step2(ms_w, inf, u, p, qw: int, qh: int, width: int):
         emax = (_u32(31) - jax.lax.clz(emax_v | _u32(2))).astype(_U32)
         kappa = jnp.where(gamma != 0, emax, _u32(1))
         U_q = jnp.where(initial, u_q, u_q + kappa)
-        err = err | (U_q > mmsbp2)
+        # height-merged batches: rows past a block's real quad-row count
+        # decode fill garbage that is cropped later; don't flag errors
+        err = err | ((U_q > mmsbp2) & (qy < qh_lim))
 
         vals = []
         v_ns = []
@@ -347,6 +352,21 @@ def _step2(ms_w, inf, u, p, qw: int, qh: int, width: int):
     return dec, err
 
 
+def decode_cleanup_core(mel_w, vlc_w, ms_w, p, width: int, height: int,
+                        qh_lim=None):
+    """Traceable body of decode_cleanup (for fusing into larger graphs).
+
+    qh_lim [N] (optional): per-lane true quad-row count for
+    height-merged batches — rows >= qh_lim decode garbage that the
+    caller crops; errors there are suppressed.
+    """
+    qw = (width + 1) >> 1
+    qh = (height + 1) >> 1
+    inf, u = _step1(mel_w, vlc_w, qw, qh)
+    dec, err = _step2(ms_w, inf, u, p, qw, qh, width, qh_lim)
+    return dec[:, :height, :width], err
+
+
 @partial(jax.jit, static_argnums=(4, 5))
 def decode_cleanup(mel_w, vlc_w, ms_w, p, width: int, height: int):
     """Decode N same-shape cleanup segments.
@@ -355,8 +375,4 @@ def decode_cleanup(mel_w, vlc_w, ms_w, p, width: int, height: int):
     missing_msbs per block [N] int32; static block width/height.
     Returns (dec [N, height, width] uint32 sign-magnitude, err [N]).
     """
-    qw = (width + 1) >> 1
-    qh = (height + 1) >> 1
-    inf, u = _step1(mel_w, vlc_w, qw, qh)
-    dec, err = _step2(ms_w, inf, u, p, qw, qh, width)
-    return dec[:, :height, :width], err
+    return decode_cleanup_core(mel_w, vlc_w, ms_w, p, width, height)

@@ -1,22 +1,31 @@
-"""TPU decode pipeline: host Tier-2 parse -> batched block decode ->
-dequantization -> inverse DWT -> color, with the device doing all the
-sample math.
+"""TPU decode pipeline: host Tier-2 parse -> one fused device graph
+per stream geometry (batched block decode -> scatter -> dequantize ->
+inverse DWT -> color -> sample conversion).
 
-Structure (SURVEY.md §7 design stance): codeblocks are gathered into
-same-shape batches across *all* tiles/components/resolutions and
-decoded by the vectorized cleanup kernel (block_decode.py); band
-planes are then dequantized and synthesized whole-tile with the
-jittable DWT/color ops.  The byte-level Tier-2 machinery stays on the
-host (codec.py), exactly where the reference keeps its packet parser
-(ojph_precinct.cpp:328-573).
+Design (SURVEY.md §7): codeblocks are the batch axis.  All blocks with
+the same width are merged into one batch — heights are padded to the
+group maximum and rows past a block's real quad-row count decode
+cropped garbage (the scan is forward-only, so earlier rows are
+unaffected) — giving one kernel launch per distinct block width, and
+the entire frame decode is a single XLA dispatch.  A `_Plan` captures
+the stream geometry; the traced runner is cached per plan key, so
+steady-state video decode is: native C++ unstuff (host) -> upload ->
+one dispatch -> download.
 
-Blocks the JAX kernel cannot handle (SigProp/MagRef passes from
-non-OpenJPH encoders, >30 bitplanes) fall back to the scalar decoder.
+The byte-level Tier-2 machinery stays on the host (codec.py), exactly
+where the reference keeps its packet parser
+(ojph_precinct.cpp:328-573).  Streams the fused path cannot handle
+(resilient mode, SigProp/MagRef passes from other encoders, >30 bit
+planes) fall back to a per-batch path, and per-block scalar decode
+below that.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..codec import Decoder
@@ -25,27 +34,282 @@ from . import color as jclr
 from . import dwt as jdwt
 from . import quant as jq
 from .bitprep import prep_cleanup_streams
-from .block_decode import decode_cleanup
+from .block_decode import decode_cleanup, decode_cleanup_core
 
 _MAX_BATCH = 4096
 
 
 def _bucket(n: int, lo: int = 8) -> int:
+    """Round up to a small set of sizes (pow2 below 256, then multiples
+    of 256) so jit variants are bounded but padding waste stays low."""
     b = lo
-    while b < n:
+    while b < n and b < 256:
         b *= 2
-    return b
+    if n <= b:
+        return b
+    return -(-n // 256) * 256
+
+
+# ---------------------------------------------------------------------------
+# Decode plan: static description of one stream geometry
+# ---------------------------------------------------------------------------
+
+@dataclass
+class _Group:
+    gid: int
+    w: int
+    h: int = 0                      # max true height (padded target)
+    members: list = field(default_factory=list)  # (CodedBlock, scup)
+    qh_lims: list = field(default_factory=list)
+    n_pad: int = 0
+    words: Tuple[int, int, int] = (0, 0, 0)
+
+
+@dataclass
+class _Plan:
+    key: tuple
+    groups: List[_Group]
+    # (gid, lane0, nrows, ncols, h_true, y0, band_id, x0)
+    placements: List[tuple]
+    # band_id -> (H, W, kmax, delta, reversible)
+    bands: List[tuple]
+    # per tile: (mct, (comp struct, ...))
+    tiles: List[tuple]
+
+
+_RUNNERS: Dict[tuple, object] = {}
+
+
+def _build_plan(dec: 'TpuDecoder') -> Optional[_Plan]:
+    """Walk the parsed stream; return None if the fused path can't
+    handle it (then the slow path runs)."""
+    if dec.resilient:
+        return None
+    groups: Dict[int, _Group] = {}
+    placements = []
+    bands = []
+    tiles = []
+    for ti, st in enumerate(dec.tiles):
+        tile_comps = []
+        for c, comp in enumerate(st.geom.comps):
+            cod = dec.hdr.get_cod(c)
+            rev = cod.is_reversible
+            skip = min(dec.skip_recon, comp.num_decomps)
+            top = comp.num_decomps - skip
+            res_specs = []
+            for r in range(top + 1):
+                res = comp.resolutions[r]
+                bids = []
+                for b in ([0] if r == 0 else [1, 2, 3]):
+                    sb = res.bands[b]
+                    if sb is None:
+                        return None  # Part-2 DFS layout: slow path
+                    bid = len(bands)
+                    bands.append((sb.rect.h, sb.rect.w, sb.kmax,
+                                  float(sb.delta), rev))
+                    bids.append(bid)
+                    coded = st.coded[c][r][b]
+                    run = None  # (gid, lane0, ncols, h_true, y0, x0)
+                    for g in sb.blocks:
+                        cb = coded[g.cb_y * sb.num_cb_x + g.cb_x]
+                        if cb is None or not cb.data \
+                                or cb.num_passes == 0 \
+                                or cb.pass_length[0] == 0:
+                            continue  # zero block
+                        if cb.num_passes > 1 or cb.missing_msbs >= 30 \
+                                or cb.pass_length[0] < 2:
+                            return None
+                        d = cb.data
+                        lc = cb.pass_length[0]
+                        scup = (d[lc - 1] << 4) + (d[lc - 2] & 0xF)
+                        if scup < 2 or scup > lc or scup > 4079:
+                            return None
+                        grp = groups.get(g.rect.w)
+                        if grp is None:
+                            grp = _Group(len(groups), g.rect.w)
+                            groups[g.rect.w] = grp
+                        lane = len(grp.members)
+                        grp.members.append((cb, scup))
+                        grp.h = max(grp.h, g.rect.h)
+                        grp.qh_lims.append((g.rect.h + 1) >> 1)
+                        y0 = g.rect.y0 - sb.rect.y0
+                        x0 = g.rect.x0 - sb.rect.x0
+                        if run is not None and run[0] == grp.gid \
+                                and run[3] == g.rect.h \
+                                and run[4] == y0 \
+                                and run[5] + run[2] * g.rect.w == x0 \
+                                and lane == run[1] + run[2]:
+                            run = (run[0], run[1], run[2] + 1, run[3],
+                                   run[4], run[5])
+                        else:
+                            if run is not None:
+                                placements.append(run + (bid,))
+                            run = (grp.gid, lane, 1, g.rect.h, y0, x0)
+                    if run is not None:
+                        placements.append(run + (bid,))
+                h_even = (res.rect.x0 & 1) == 0
+                v_even = (res.rect.y0 & 1) == 0
+                res_specs.append((tuple(bids), h_even, v_even))
+            tile_comps.append((tuple(res_specs), rev,
+                               dec.hdr.siz.comps[c].bit_depth,
+                               dec.hdr.siz.comps[c].is_signed,
+                               dec.hdr.nlt.type3_for(c)))
+        nc = dec.hdr.siz.num_comps
+        mct = dec.hdr.cod.mc_trans == 1 and nc >= 3
+        tiles.append((mct, tuple(tile_comps)))
+
+    glist = sorted(groups.values(), key=lambda g: g.gid)
+    for grp in glist:
+        grp.n_pad = _bucket(len(grp.members))
+        scups = np.array([m[1] for m in grp.members], np.int64)
+        lcups = np.array([m[0].pass_length[0] for m in grp.members],
+                         np.int64)
+        wm = _bucket((int((scups - 1).max()) * 8 + 31) // 32 + 2)
+        wv = _bucket((4 + int((scups - 2).max()) * 8 + 31) // 32 + 2)
+        ws = _bucket((int((lcups - scups).max()) * 8 + 31) // 32 + 2)
+        grp.words = (wm, wv, ws)
+
+    # vertical merge of compatible row strips:
+    # (gid, lane0, ncols, h_true, y0, x0, bid) -> add nrows
+    merged = []
+    for (gid, lane0, ncols, h_t, y0, x0, bid) in placements:
+        if merged:
+            m = merged[-1]  # (gid, lane0, nrows, ncols, h_t, y0, bid, x0)
+            if m[0] == gid and m[6] == bid and m[3] == ncols \
+                    and m[4] == h_t and m[7] == x0 \
+                    and m[5] + m[2] * h_t == y0 \
+                    and m[1] + m[2] * ncols == lane0:
+                merged[-1] = (m[0], m[1], m[2] + 1, m[3], m[4], m[5],
+                              m[6], m[7])
+                continue
+        merged.append((gid, lane0, 1, ncols, h_t, y0, bid, x0))
+
+    key = (tuple((g.gid, g.w, g.h, g.n_pad, g.words) for g in glist),
+           tuple(merged), tuple(bands), tuple(tiles))
+    return _Plan(key, glist, merged, bands, tiles)
+
+
+def _tx_from_cb_j(raw, kmax, delta, reversible):
+    """tx_from_cb inline (gen_rev/irv_tx_from_cb32,
+    ojph_codestream_gen.cpp:124-168)."""
+    mag = raw & jnp.uint32(0x7FFFFFFF)
+    neg = (raw >> jnp.uint32(31)).astype(bool)
+    if reversible:
+        val = (mag >> jnp.uint32(31 - kmax)).astype(jnp.int32)
+        return jnp.where(neg, -val, val)
+    val = mag.astype(jnp.float32) * jnp.float32(delta)
+    return jnp.where(neg, -val, val)
+
+
+def _make_runner(plan: _Plan):
+    groups, placements, bands, tiles = (plan.groups, plan.placements,
+                                        plan.bands, plan.tiles)
+    nmembers = [len(g.members) for g in groups]
+    widths = [g.w for g in groups]
+    heights = [g.h for g in groups]
+
+    def run(*flat):
+        decs = []
+        errs = []
+        for i, (nm, w, h) in enumerate(zip(nmembers, widths, heights)):
+            mel, vlc, ms, p, qhl = flat[i * 5:i * 5 + 5]
+            d, e = decode_cleanup_core(mel, vlc, ms, p, w, h, qhl)
+            decs.append(d)
+            errs.append(e[:nm])
+        planes = [jnp.zeros((H, W), jnp.uint32)
+                  for (H, W, _, _, _) in bands]
+        for (gid, lane0, nrows, ncols, h_t, y0, bid, x0) in placements:
+            w_t = widths[gid]
+            d = decs[gid][lane0:lane0 + nrows * ncols, :h_t, :w_t]
+            strip = d.reshape(nrows, ncols, h_t, w_t) \
+                .transpose(0, 2, 1, 3).reshape(nrows * h_t, ncols * w_t)
+            planes[bid] = jax.lax.dynamic_update_slice(
+                planes[bid], strip, (y0, x0))
+        deq = [_tx_from_cb_j(planes[i], kmax, delta, rev)
+               for i, (_, _, kmax, delta, rev) in enumerate(bands)]
+
+        outs = []
+        for (mct, comps) in tiles:
+            rec = []
+            for (res_specs, rev, bd, sgn, nlt3) in comps:
+                bids0, _, _ = res_specs[0]
+                plane = deq[bids0[0]]
+                for (bids, h_even, v_even) in res_specs[1:]:
+                    plane = jdwt.inv_dwt2d(
+                        plane, deq[bids[0]], deq[bids[1]], deq[bids[2]],
+                        h_even, v_even, rev)
+                rec.append(plane)
+            if mct:
+                rev0 = comps[0][1]
+                if rev0:
+                    r, gg, b = jclr.rct_backward(rec[0], rec[1], rec[2])
+                else:
+                    r, gg, b = jclr.ict_backward(rec[0], rec[1], rec[2])
+                rec[0], rec[1], rec[2] = r, gg, b
+            conv = []
+            for ci, (res_specs, rev, bd, sgn, nlt3) in enumerate(comps):
+                if rev:
+                    conv.append(jclr.rev_convert_out(
+                        rec[ci], bd, sgn, nlt3).astype(jnp.int32))
+                else:
+                    conv.append(jclr.irv_convert_to_integer(
+                        rec[ci], bd, sgn, nlt3).astype(jnp.int32))
+            outs.append(tuple(conv))
+        return tuple(errs), tuple(outs)
+
+    return jax.jit(run)
 
 
 class TpuDecoder(Decoder):
     """Decoder whose Tier-1 + reconstruction run on the accelerator."""
 
     def decode(self) -> List[np.ndarray]:
+        plan = _build_plan(self)
+        if plan is not None:
+            return self._decode_fast(plan)
         self._band_planes: Dict[Tuple[int, int, int, int], np.ndarray] = {}
         self._decode_all_blocks()
-        return super().decode()
+        return self._assemble(
+            {st.geom.idx: self.decode_tile(st.geom.idx)
+             for st in self.tiles})
 
-    # -- batched Tier-1 ----------------------------------------------------
+    # -- fused fast path ---------------------------------------------------
+    def _decode_fast(self, plan: _Plan) -> List[np.ndarray]:
+        runner = _RUNNERS.get(plan.key)
+        if runner is None:
+            runner = _make_runner(plan)
+            _RUNNERS[plan.key] = runner
+        flat = []
+        for g in plan.groups:
+            n = len(g.members)
+            pad = g.n_pad - n
+            datas = [bytes(m[0].data) for m in g.members]
+            lcups = np.array([m[0].pass_length[0] for m in g.members],
+                             np.int64)
+            miss = np.array([m[0].missing_msbs for m in g.members],
+                            np.int32)
+            scups = np.array([m[1] for m in g.members], np.int64)
+            datas += [datas[0]] * pad
+            lcups = np.concatenate([lcups, np.repeat(lcups[:1], pad)])
+            miss = np.concatenate([miss, np.repeat(miss[:1], pad)])
+            scups = np.concatenate([scups, np.repeat(scups[:1], pad)])
+            streams = prep_cleanup_streams(datas, lcups, scups,
+                                           min_words=g.words)
+            qhl = np.concatenate([
+                np.array(g.qh_lims, np.int32),
+                np.full(pad, (g.h + 1) >> 1, np.int32)])
+            flat += [streams['mel'], streams['vlc'], streams['ms'],
+                     (30 - miss).astype(np.int32), qhl]
+        errs, outs = runner(*flat)
+        for e in errs:
+            if np.asarray(e).any():
+                raise ValueError('U_q exceeds missing_msbs + 2')
+        tile_planes = {
+            st.geom.idx: [np.asarray(p) for p in outs[i]]
+            for i, st in enumerate(self.tiles)}
+        return self._assemble(tile_planes)
+
+    # -- slow path (resilient / refinement passes / 64-bit) ---------------
     def _decode_all_blocks(self):
         groups: Dict[Tuple[int, int], List] = {}
         for ti, st in enumerate(self.tiles):
@@ -92,7 +356,6 @@ class TpuDecoder(Decoder):
 
     def _run_batch(self, w, h, items):
         n = len(items)
-        nb = _bucket(n)
         datas = [bytes(cb.data) for cb, _ in items]
         lcups = np.array([cb.pass_length[0] for cb, _ in items], np.int64)
         missings = np.array([cb.missing_msbs for cb, _ in items], np.int32)
@@ -110,8 +373,7 @@ class TpuDecoder(Decoder):
             n = len(items)
             if n == 0:
                 return
-            nb = _bucket(n)
-        # pad the batch by replicating the first block
+        nb = _bucket(n)
         pad = nb - n
         datas += [datas[0]] * pad
         lcups = np.concatenate([lcups, np.repeat(lcups[:1], pad)])
@@ -130,7 +392,7 @@ class TpuDecoder(Decoder):
                 continue  # resilient: leave as zero block
             self._band_planes[key][y0:y0 + h, x0:x0 + w] = dec[i]
 
-    # -- reconstruction on device -----------------------------------------
+    # -- slow-path reconstruction (device ops, per-band dispatches) --------
     def _reconstruct_comp(self, st, c: int) -> np.ndarray:
         comp = st.geom.comps[c]
         cod = self.hdr.get_cod(c)
