@@ -274,11 +274,8 @@ class TpuDecoder(Decoder):
              for st in self.tiles})
 
     # -- fused fast path ---------------------------------------------------
-    def _decode_fast(self, plan: _Plan) -> List[np.ndarray]:
-        runner = _RUNNERS.get(plan.key)
-        if runner is None:
-            runner = _make_runner(plan)
-            _RUNNERS[plan.key] = runner
+    def _flat_inputs(self, plan: _Plan) -> List[np.ndarray]:
+        """Host prep: per group [mel, vlc, ms, p, qh_lim] arrays."""
         flat = []
         for g in plan.groups:
             n = len(g.members)
@@ -300,6 +297,14 @@ class TpuDecoder(Decoder):
                 np.full(pad, (g.h + 1) >> 1, np.int32)])
             flat += [streams['mel'], streams['vlc'], streams['ms'],
                      (30 - miss).astype(np.int32), qhl]
+        return flat
+
+    def _decode_fast(self, plan: _Plan) -> List[np.ndarray]:
+        runner = _RUNNERS.get(plan.key)
+        if runner is None:
+            runner = _make_runner(plan)
+            _RUNNERS[plan.key] = runner
+        flat = self._flat_inputs(plan)
         errs, outs = runner(*flat)
         for e in errs:
             if np.asarray(e).any():

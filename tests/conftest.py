@@ -2,13 +2,15 @@ import os
 import subprocess
 import sys
 
-# Virtual 8-device CPU mesh for sharding tests; must be set before jax
-# import anywhere in the test session.  Force-override: the ambient
-# environment may point JAX at a (single) real TPU chip, which is
-# reserved for bench.py — tests always run on the virtual CPU mesh.
-os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '') +
-                           ' --xla_force_host_platform_device_count=8')
+# Virtual 8-device CPU mesh for sharding tests.  Force-override: the
+# ambient environment may point JAX at a (single) real TPU chip, which
+# is reserved for bench.py — tests always run on the virtual CPU mesh.
+# A sitecustomize-installed TPU PJRT plugin may override jax_platforms
+# via jax.config at interpreter start (beating the env var), so the
+# config must be forced back programmatically before any backend
+# initialization.
 os.environ['JAX_PLATFORMS'] = 'cpu'
+os.environ.setdefault('JAX_NUM_CPU_DEVICES', '8')
 # Persistent compilation cache: DWT/codec kernels are recompiled per
 # (shape, origin) variant; caching across test runs keeps the suite fast.
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
@@ -16,6 +18,12 @@ os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
 os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '0.5')
 os.environ.setdefault(
     'JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES', '-1')
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_num_cpu_devices',
+                  int(os.environ['JAX_NUM_CPU_DEVICES']))
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
