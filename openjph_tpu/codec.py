@@ -306,7 +306,9 @@ class Encoder:
                  nlts: List[mk.NltSegment] = (),
                  comments: List[mk.Com] = (),
                  tlm_marker: bool = False,
-                 tilepart_div: int = 0):
+                 tilepart_div: int = 0,
+                 qfactor: Optional[int] = None,
+                 profile: Optional[str] = None):
         if siz.xtsiz == 0 and siz.ytsiz == 0:
             siz.xtsiz = siz.xsiz + siz.xosiz
             siz.ytsiz = siz.ysiz + siz.yosiz
@@ -318,6 +320,40 @@ class Encoder:
         self.comments = list(comments)
         self.tlm_marker = tlm_marker
         self.tilepart_div = tilepart_div
+        if profile:
+            # IMF/BROADCAST validation; both force TLM + component-level
+            # tile parts (ojph_codestream_local.cpp:446-453, 544-551)
+            from .core.profiles import check_broadcast, check_imf
+            pf = profile.upper()
+            # validation happens on the finalized tile size
+            vsiz = siz
+            if pf == 'IMF':
+                check_imf(vsiz, cod)
+            elif pf == 'BROADCAST':
+                check_broadcast(vsiz, cod)
+            else:
+                raise ValueError(f'unknown profile {profile!r}')
+            self.tlm_marker = True
+            self.tilepart_div = self.TILEPART_C
+        if qfactor is not None:
+            # Qfactor visual weighting: QCD carries the luma weights and
+            # every component gets an explicit QCC
+            # (param_qcd check_validity, ojph_params.cpp:1375-1407)
+            if cod.is_reversible:
+                raise ValueError('qfactor requires the irreversible path')
+            if not (1 <= qfactor <= 100):
+                raise ValueError('qfactor must be in 1..100')
+            from .core.quant import COMP_Y, make_qfactor_qcd
+            nc = siz.num_comps
+            qcd = make_qfactor_qcd(cod.num_decomps,
+                                   siz.comps[0].bit_depth, qfactor,
+                                   COMP_Y, (1, 1))
+            for c in range(nc):
+                ct = c if (nc >= 3 and c < 3) else COMP_Y
+                ccod = self.cocs.get(c, cod)
+                self.qccs[c] = make_qfactor_qcd(
+                    ccod.num_decomps, siz.comps[c].bit_depth, qfactor,
+                    ct, (siz.comps[c].dx, siz.comps[c].dy), comp_idx=c)
         if qcd is None:
             bd = siz.comps[0].bit_depth
             if cod.is_reversible:
@@ -360,6 +396,60 @@ class Encoder:
     def _get_qcd(self, c):
         return self.qccs.get(c, self.qcd)
 
+    # tile-part division flags (ojph_codestream.h OJPH_TILEPART_*)
+    TILEPART_R = 1
+    TILEPART_C = 2
+
+    def _corrected_tilepart_div(self) -> int:
+        """Per-progression-order correction of the requested tile-part
+        divisions (codestream::write_headers,
+        ojph_codestream_local.cpp:582-622)."""
+        div = self.tilepart_div
+        po = self.cod.prog_order
+        if po in (mk.ProgOrder.LRCP, mk.ProgOrder.RLCP) \
+                and div == self.TILEPART_C:
+            div |= self.TILEPART_R
+        if po == mk.ProgOrder.RPCL:
+            div &= ~self.TILEPART_C
+        if po == mk.ProgOrder.PCRL:
+            div = 0
+        if po == mk.ProgOrder.CPRL:
+            div &= ~self.TILEPART_R
+        return div
+
+    def _split_tileparts(self, packets):
+        """Group annotated packets [(c, r, bytes)] into tile-parts
+        [(tpsot, tnsot, payload)] (tile::flush,
+        ojph_tile.cpp:584-774)."""
+        div = self._corrected_tilepart_div()
+        nc = self.siz.num_comps
+        maxd = max(self._get_cod(c).num_decomps for c in range(nc))
+        if div == 0:
+            return [(0, 1, b''.join(p for _, _, p in packets))]
+        if div == self.TILEPART_C:  # CPRL only
+            parts = []
+            for c in range(nc):
+                payload = b''.join(p for pc, _, p in packets if pc == c)
+                parts.append((c, nc, payload))
+            return parts
+        if div == self.TILEPART_R:
+            parts = []
+            for r in range(maxd + 1):
+                payload = b''.join(p for _, pr, p in packets if pr == r)
+                parts.append((r, maxd + 1, payload))
+            return parts
+        # R | C: LRCP/RLCP only — one part per (r, c)
+        parts = []
+        tn = nc * (maxd + 1)
+        for r in range(maxd + 1):
+            for c in range(nc):
+                if r > self._get_cod(c).num_decomps:
+                    continue
+                payload = b''.join(p for pc, pr, p in packets
+                                   if pc == c and pr == r)
+                parts.append((c + r * nc, tn, payload))
+        return parts
+
     def encode(self, planes: List[np.ndarray]) -> bytes:
         """Encode per-component sample planes into a .j2c codestream."""
         siz = self.siz
@@ -373,12 +463,12 @@ class Encoder:
         tlm_pairs = []
         for idx, tr in enumerate(tile_rects):
             packets = self._encode_tile(idx, tr, planes)
-            payload = b''.join(packets)
-            sot = mk.Sot(idx, len(payload) + 14, 0, 1)
-            body += sot.to_bytes()
-            body += struct.pack('>H', mk.Marker.SOD)
-            body += payload
-            tlm_pairs.append((idx, len(payload) + 14))
+            for (tpsot, tnsot, payload) in self._split_tileparts(packets):
+                sot = mk.Sot(idx, len(payload) + 14, tpsot, tnsot)
+                body += sot.to_bytes()
+                body += struct.pack('>H', mk.Marker.SOD)
+                body += payload
+                tlm_pairs.append((idx, len(payload) + 14))
         out = header
         if self.tlm_marker:
             out += mk.Tlm(tlm_pairs).to_bytes()
@@ -425,13 +515,13 @@ class Encoder:
         for c in range(nc):
             coded.append(self._encode_comp(geom, c, tplanes[c]))
 
-        # emit packets in progression order
+        # emit packets in progression order, annotated (comp, res)
         packets = []
         cod = self.cod
         for (c, r, pidx) in precinct_iterator(geom, cod.prog_order):
             res = geom.comps[c].resolutions[r]
-            packets.append(encode_precinct(res, pidx, coded[c][r],
-                                           cod.uses_eph, cod.uses_sop))
+            packets.append((c, r, encode_precinct(
+                res, pidx, coded[c][r], cod.uses_eph, cod.uses_sop)))
         return packets
 
     def _encode_comp(self, geom: TileGeom, c: int, plane: np.ndarray):
@@ -504,7 +594,9 @@ def encode(planes, bit_depth: int = 8, is_signed: bool = False,
            base_delta: Optional[float] = None,
            block_size=(64, 64), tlm_marker: bool = False,
            tile_size=None, tile_offset=(0, 0), image_offset=(0, 0),
-           precincts=None, downsamplings=None) -> bytes:
+           precincts=None, downsamplings=None,
+           qfactor: Optional[int] = None, tileparts: str = None,
+           profile: Optional[str] = None) -> bytes:
     """Encode per-component numpy planes into a .j2c codestream."""
     if isinstance(planes, np.ndarray):
         planes = [planes[..., i] for i in range(planes.shape[-1])] \
@@ -539,5 +631,15 @@ def encode(planes, bit_depth: int = 8, is_signed: bool = False,
             ps.append((pw.bit_length() - 1) | ((ph.bit_length() - 1) << 4))
         # reference stores precincts from res 0 upward
         cod.precinct_sizes = ps
-    enc = Encoder(siz, cod, base_delta=base_delta, tlm_marker=tlm_marker)
+    if qfactor is not None:
+        cod.wavelet_kern = mk.DWT_IRV97
+    tp_div = 0
+    if tileparts:
+        tp = tileparts.upper()
+        if tp not in ('R', 'C', 'RC', 'CR'):
+            raise ValueError("tileparts must be 'R', 'C', or 'RC'")
+        tp_div = (Encoder.TILEPART_R if 'R' in tp else 0) \
+            | (Encoder.TILEPART_C if 'C' in tp else 0)
+    enc = Encoder(siz, cod, base_delta=base_delta, tlm_marker=tlm_marker,
+                  qfactor=qfactor, tilepart_div=tp_div, profile=profile)
     return enc.encode([np.asarray(p) for p in planes])

@@ -125,3 +125,108 @@ def make_irrev_qcd(num_decomps: int, base_delta: float,
 def default_irrev_delta(bit_depth: int) -> float:
     """Default qstep when unspecified (ojph_params.cpp:1456-1459)."""
     return 1.0 / (1 << min(16, bit_depth))
+
+
+# ---------------------------------------------------------------------------
+# Qfactor visual weighting (ojph_params.cpp:599-800)
+# ---------------------------------------------------------------------------
+
+COMP_Y, COMP_CB, COMP_CR = 0, 1, 2
+
+_VW = {
+    # (ctype, format): 19 weights — 3 per level (HH, LH, HL) for levels
+    # 1..6 then LL (visual_weights tables, ojph_params.cpp:738-794)
+    (COMP_CB, '420'): [0.2724, 0.5128, 0.5128, 0.6692, 0.9382, 0.9382,
+                       1.0888, 1.3046, 1.3046, 1.4156, 1.5594, 1.5594,
+                       2.0, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0],
+    (COMP_CR, '420'): [0.5196, 0.8260, 0.8260, 1.0080, 1.2928, 1.2928,
+                       1.4440, 1.6508, 1.6508, 1.7538, 1.8848, 1.8848,
+                       2.0, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0],
+    (COMP_CB, '422'): [0.1220, 0.1220, 0.3626, 0.3626, 0.3626, 0.6634,
+                       0.6634, 0.6634, 0.9225, 0.9225, 0.9225, 1.1027,
+                       1.1027, 1.1027, 1.4142, 1.4142, 1.4142, 1.4142,
+                       1.4142],
+    (COMP_CR, '422'): [0.2595, 0.2595, 0.5841, 0.5841, 0.5841, 0.9141,
+                       0.9141, 0.9141, 1.1673, 1.1673, 1.1673, 1.3328,
+                       1.3328, 1.3328, 1.4142, 1.4142, 1.4142, 1.4142,
+                       1.4142],
+    (COMP_CB, '444'): [0.0263, 0.0863, 0.0863, 0.1362, 0.2564, 0.2564,
+                       0.3346, 0.4691, 0.4691, 0.5444, 0.6523, 0.6523,
+                       0.7078, 0.7797, 0.7797, 1.0, 1.0, 1.0, 1.0],
+    (COMP_CR, '444'): [0.0773, 0.1835, 0.1835, 0.2598, 0.4130, 0.4130,
+                       0.5040, 0.6464, 0.6464, 0.7220, 0.8254, 0.8254,
+                       0.8769, 0.9424, 0.9424, 1.0, 1.0, 1.0, 1.0],
+}
+_VW_Y = [0.0901, 0.2758, 0.2758, 0.7018, 0.8378, 0.8378,
+         1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0,
+         1.0]
+_VW_GAIN = {COMP_Y: 1.0, COMP_CB: 1.8051 / 1.7321,
+            COMP_CR: 1.5734 / 1.7321}
+
+
+def _vw_weight(weights, level: int, subband_idx: int) -> float:
+    """visual_weights::get_weight (ojph_params.cpp:660-673)."""
+    if subband_idx == 0:
+        return weights[18]
+    level = min(level, 6)
+    return weights[(level - 1) * 3 + (3 - subband_idx)]
+
+
+def _qfactor_delta_ref(qfactor: int, bit_depth: int):
+    """visual_weights::get_delta_ref (ojph_params.cpp:690-724).
+    Returns (delta_ref, power), float32 semantics."""
+    t0, t1 = 65, 97
+    alpha_t0, alpha_t1 = _f32(0.04), _f32(0.10)
+    m_t0 = _f32(2.0 * (1.0 - t0 / 100.0))
+    m_t1 = _f32(2.0 * (1.0 - t1 / 100.0))
+    if qfactor < 50:
+        m_q = _f32(50.0 / qfactor)
+    else:
+        m_q = _f32(2.0 * (1.0 - _f32(qfactor / 100.0)))
+    if qfactor <= t0:
+        power = 1.0
+        alpha_q = alpha_t0
+    elif qfactor < t1:
+        power = _f32(_f32(math.log(m_q) - math.log(m_t1))
+                     / _f32(math.log(m_t0) - math.log(m_t1)))
+        alpha_q = _f32(alpha_t1 * _f32(math.pow(alpha_t0 / alpha_t1,
+                                                power)))
+    else:
+        power = 0.0
+        alpha_q = alpha_t1
+    eps = _f32(math.sqrt(0.5) * math.ldexp(1.0, -bit_depth))
+    return _f32(_f32(alpha_q * m_q) + eps), power
+
+
+def make_qfactor_qcd(num_decomps: int, bit_depth: int, qfactor: int,
+                     ctype: int, sampling=(1, 1), comp_idx=None) -> Qcd:
+    """Irreversible QCD/QCC with Qfactor visual weighting
+    (param_qcd::set_irrev_quant, ojph_params.cpp:1542-1599)."""
+    if sampling == (2, 2):
+        fmt = '420'
+    elif sampling == (2, 1):
+        fmt = '422'
+    elif sampling == (1, 1):
+        fmt = '444'
+    else:
+        raise ValueError('Qfactor needs 4:4:4/4:2:2/4:2:0 sampling')
+    g_c = _f32(_VW_GAIN[ctype])
+    delta_ref, power = _qfactor_delta_ref(qfactor, bit_depth)
+    weights = _VW_Y if ctype == COMP_Y else _VW[(ctype, fmt)]
+
+    guard_bits = 1
+    sqcd = (guard_bits << 5) | 0x2
+    sp: List[int] = []
+    gl = _f32(SQRT_ENERGY_GAIN_97_L[num_decomps])
+    w_b = _f32(math.pow(_f32(_vw_weight(weights, num_decomps, 0)), power))
+    sp.append(_encode_spqcd(delta_ref / (gl * gl * g_c * w_b)))
+    for d in range(num_decomps, 0, -1):
+        gl = _f32(SQRT_ENERGY_GAIN_97_L[d])
+        gh = _f32(SQRT_ENERGY_GAIN_97_H[d - 1])
+        w_b = _f32(math.pow(_f32(_vw_weight(weights, d, 1)), power))
+        sp.append(_encode_spqcd(delta_ref / (gh * gl * g_c * w_b)))
+        w_b = _f32(math.pow(_f32(_vw_weight(weights, d, 2)), power))
+        sp.append(_encode_spqcd(delta_ref / (gl * gh * g_c * w_b)))
+        w_b = _f32(math.pow(_f32(_vw_weight(weights, d, 3)), power))
+        sp.append(_encode_spqcd(delta_ref / (gh * gh * g_c * w_b)))
+    return Qcd(sqcd, sp, comp_idx)

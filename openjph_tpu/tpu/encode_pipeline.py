@@ -296,14 +296,14 @@ class TpuEncoder(Encoder):
                 cb.data = bytes(out[lane, :lens[lane]])
                 cb.pass_length[0] = int(lens[lane])
 
-        # emit packets in progression order (same as Encoder)
+        # emit packets in progression order, annotated (comp, res)
         from ..core.t2 import encode_precinct, precinct_iterator
         packets = []
         cod = self.cod
         for (c, r, pidx) in precinct_iterator(geom, cod.prog_order):
             res = geom.comps[c].resolutions[r]
-            packets.append(encode_precinct(res, pidx, coded[c][r],
-                                           cod.uses_eph, cod.uses_sop))
+            packets.append((c, r, encode_precinct(
+                res, pidx, coded[c][r], cod.uses_eph, cod.uses_sop)))
         return packets
 
 

@@ -105,6 +105,61 @@ def write_yuv(path: str, comps: List[np.ndarray], bit_depth: int):
             f.write(c.astype(dt).tobytes())
 
 
+def read_dpx(path: str):
+    """DPX reader: RGB descriptor 50, 10-bit packed (method A) or
+    16-bit, both endians — the subset of dpx_in
+    (/root/reference/src/apps/others/ojph_img_io.cpp dpx_in).
+    Returns (img [h, w, 3] int32, bit_depth)."""
+    with open(path, 'rb') as f:
+        data = f.read()
+    magic = data[:4]
+    if magic == b'SDPX':
+        bo = '>'
+    elif magic == b'XPDS':
+        bo = '<'
+    else:
+        raise ValueError('not a DPX file')
+
+    def u32(off):
+        return struct.unpack_from(bo + 'I', data, off)[0]
+
+    def u16(off):
+        return struct.unpack_from(bo + 'H', data, off)[0]
+
+    img_offset = u32(4)
+    # image information header at 768; element 0 at 780
+    w = u32(768 + 4)
+    h = u32(768 + 8)
+    el = 780
+    descriptor = data[el + 20]
+    bit_size = data[el + 23]
+    packing = u16(el + 24)
+    data_offset = u32(el + 32) or img_offset
+    if descriptor != 50:
+        raise ValueError(f'unsupported DPX descriptor {descriptor}'
+                         ' (only RGB)')
+    if bit_size == 10:
+        if packing != 1:
+            raise ValueError('only packing method A supported for '
+                             '10-bit DPX')
+        words = np.frombuffer(data, dtype=bo + 'u4', count=w * h,
+                              offset=data_offset)
+        r = (words >> 22) & 0x3FF
+        g = (words >> 12) & 0x3FF
+        b = (words >> 2) & 0x3FF
+        img = np.stack([r, g, b], axis=-1).reshape(h, w, 3)
+        return img.astype(np.int32), 10
+    if bit_size == 16:
+        arr = np.frombuffer(data, dtype=bo + 'u2', count=w * h * 3,
+                            offset=data_offset)
+        return arr.reshape(h, w, 3).astype(np.int32), 16
+    if bit_size == 8:
+        arr = np.frombuffer(data, dtype=np.uint8, count=w * h * 3,
+                            offset=data_offset)
+        return arr.reshape(h, w, 3).astype(np.int32), 8
+    raise ValueError(f'unsupported DPX bit size {bit_size}')
+
+
 def read_pfm(path: str) -> np.ndarray:
     with open(path, 'rb') as f:
         data = f.read()
