@@ -19,6 +19,12 @@ import tempfile
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
+# Persistent XLA compile cache: keeps repeat bench runs out of the
+# (slow, remote on axon) compiler.
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
+                      os.path.join(REPO, '.jax_cache'))
+os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '0.5')
+os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES', '-1')
 FIXTURE = os.path.join(REPO, 'bench_data', 'gray_2048x1080_rev.j2c')
 ORACLE = os.path.join(REPO, '.oracle', 'bin', 'ojph_expand')
 MP = 2048 * 1080 / 1e6

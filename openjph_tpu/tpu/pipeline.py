@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 from ..codec import Decoder
 from ..coding.decoder import decode_codeblock
 from . import color as jclr
@@ -36,7 +38,28 @@ from . import quant as jq
 from .bitprep import prep_cleanup_streams
 from .block_decode import decode_cleanup, decode_cleanup_core
 
+_USE_PALLAS: Optional[bool] = None
+
+
+def _use_pallas() -> bool:
+    """Pallas Tier-1 kernels need a real TPU backend; the lax.scan
+    path covers CPU (tests) and acts as the fallback."""
+    global _USE_PALLAS
+    if _USE_PALLAS is None:
+        _USE_PALLAS = (jax.default_backend() != 'cpu'
+                       and not os.environ.get('OJTPU_NO_PALLAS'))
+    return _USE_PALLAS
+
 _MAX_BATCH = 4096
+
+
+def _narrow_dtype(bd: int, sgn: bool):
+    """Smallest dtype holding bd-bit samples (transfer compression)."""
+    if bd <= 8:
+        return jnp.int8 if sgn else jnp.uint8
+    if bd <= 16:
+        return jnp.int16 if sgn else jnp.uint16
+    return jnp.int32
 
 
 def _bucket(n: int, lo: int = 8) -> int:
@@ -156,11 +179,16 @@ def _build_plan(dec: 'TpuDecoder') -> Optional[_Plan]:
                                dec.hdr.nlt.type3_for(c)))
         nc = dec.hdr.siz.num_comps
         mct = dec.hdr.cod.mc_trans == 1 and nc >= 3
-        tiles.append((mct, tuple(tile_comps)))
+        # narrowing to 8/16-bit is only valid at full reconstruction:
+        # skipped-resolution output is LL coefficients with DWT gain,
+        # which legitimately exceed the nominal sample range
+        tiles.append((mct, tuple(tile_comps), dec.skip_recon == 0))
 
     glist = sorted(groups.values(), key=lambda g: g.gid)
     for grp in glist:
-        grp.n_pad = _bucket(len(grp.members))
+        # pallas lanes fill (S, 128) vregs -> pad to a 128 multiple
+        grp.n_pad = _bucket(len(grp.members),
+                            lo=128 if _use_pallas() else 8)
         scups = np.array([m[1] for m in grp.members], np.int64)
         lcups = np.array([m[0].pass_length[0] for m in grp.members],
                          np.int64)
@@ -208,12 +236,19 @@ def _make_runner(plan: _Plan):
     widths = [g.w for g in groups]
     heights = [g.h for g in groups]
 
+    use_pallas = _use_pallas()
+    if use_pallas:
+        from .block_decode_pallas import decode_cleanup_pallas
+
     def run(*flat):
         decs = []
         errs = []
         for i, (nm, w, h) in enumerate(zip(nmembers, widths, heights)):
             mel, vlc, ms, p, qhl = flat[i * 5:i * 5 + 5]
-            d, e = decode_cleanup_core(mel, vlc, ms, p, w, h, qhl)
+            if use_pallas:
+                d, e = decode_cleanup_pallas(mel, vlc, ms, p, w, h, qhl)
+            else:
+                d, e = decode_cleanup_core(mel, vlc, ms, p, w, h, qhl)
             decs.append(d)
             errs.append(e[:nm])
         planes = [jnp.zeros((H, W), jnp.uint32)
@@ -229,7 +264,7 @@ def _make_runner(plan: _Plan):
                for i, (_, _, kmax, delta, rev) in enumerate(bands)]
 
         outs = []
-        for (mct, comps) in tiles:
+        for (mct, comps, narrow_ok) in tiles:
             rec = []
             for (res_specs, rev, bd, sgn, nlt3) in comps:
                 bids0, _, _ = res_specs[0]
@@ -249,11 +284,19 @@ def _make_runner(plan: _Plan):
             conv = []
             for ci, (res_specs, rev, bd, sgn, nlt3) in enumerate(comps):
                 if rev:
-                    conv.append(jclr.rev_convert_out(
-                        rec[ci], bd, sgn, nlt3).astype(jnp.int32))
+                    c = jclr.rev_convert_out(rec[ci], bd, sgn, nlt3)
                 else:
-                    conv.append(jclr.irv_convert_to_integer(
-                        rec[ci], bd, sgn, nlt3).astype(jnp.int32))
+                    c = jclr.irv_convert_to_integer(rec[ci], bd, sgn,
+                                                    nlt3)
+                # narrowest host dtype: the device->host link is the
+                # decode bottleneck (BASELINE.md), so ship 8/16-bit
+                # samples instead of int32 where the depth allows
+                dt = _narrow_dtype(bd, sgn) if narrow_ok else jnp.int32
+                if dt != jnp.int32:
+                    lo, hi = ((-(1 << (bd - 1)), (1 << (bd - 1)) - 1)
+                              if sgn else (0, (1 << bd) - 1))
+                    c = jnp.clip(c, lo, hi)
+                conv.append(c.astype(dt))
             outs.append(tuple(conv))
         return tuple(errs), tuple(outs)
 
