@@ -4,7 +4,8 @@ JAX/XLA/Pallas compute path with host-side Tier-2 codestream machinery;
 OpenJPH-compatible capability surface.
 """
 from .codec import decode, encode, Decoder, Encoder  # noqa: F401
-from .tpu.pipeline import decode_tpu, TpuDecoder  # noqa: F401
+from .tpu.pipeline import decode_tpu, decode_tpu_batch, \
+    TpuDecoder, VideoDecoder  # noqa: F401
 from .tpu.encode_pipeline import encode_tpu, TpuEncoder  # noqa: F401
 
 __version__ = '0.1.0'

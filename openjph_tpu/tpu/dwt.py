@@ -163,9 +163,9 @@ def fwd_dwt2d(x: jax.Array, h_even: bool, v_even: bool, reversible: bool):
     horizontal analysis (ojph_resolution.cpp:530-710), computed here as
     whole-plane vertical-then-horizontal lifting."""
     f1d = fwd_rev53_1d if reversible else fwd_irv97_1d
-    Lv, Hv = f1d(x, v_even, axis=0)
-    LL, HL = f1d(Lv, h_even, axis=1)
-    LH, HH = f1d(Hv, h_even, axis=1)
+    Lv, Hv = f1d(x, v_even, axis=x.ndim - 2)
+    LL, HL = f1d(Lv, h_even, axis=x.ndim - 1)
+    LH, HH = f1d(Hv, h_even, axis=x.ndim - 1)
     return LL, HL, LH, HH
 
 
@@ -175,6 +175,6 @@ def inv_dwt2d(LL, HL, LH, HH, h_even: bool, v_even: bool,
     """One 2D synthesis level; inverse of fwd_dwt2d
     (resolution::pull_line, ojph_resolution.cpp:713-949)."""
     i1d = inv_rev53_1d if reversible else inv_irv97_1d
-    Lv = i1d(LL, HL, h_even, axis=1)
-    Hv = i1d(LH, HH, h_even, axis=1)
-    return i1d(Lv, Hv, v_even, axis=0)
+    Lv = i1d(LL, HL, h_even, axis=LL.ndim - 1)
+    Hv = i1d(LH, HH, h_even, axis=LL.ndim - 1)
+    return i1d(Lv, Hv, v_even, axis=LL.ndim - 2)

@@ -82,8 +82,12 @@ class _Group:
     gid: int
     w: int
     h: int = 0                      # max true height (padded target)
-    members: list = field(default_factory=list)  # (CodedBlock, scup)
-    qh_lims: list = field(default_factory=list)
+    # every geometric block is a member (dead ones decode masked), so
+    # lane layout depends only on geometry and the traced runner is
+    # reused across frames of a video
+    members: list = field(default_factory=list)  # (CodedBlock|None, scup)
+    qh_lims: list = field(default_factory=list)  # 0 for dead lanes
+    live: list = field(default_factory=list)
     n_pad: int = 0
     words: Tuple[int, int, int] = (0, 0, 0)
 
@@ -135,26 +139,31 @@ def _build_plan(dec: 'TpuDecoder') -> Optional[_Plan]:
                     run = None  # (gid, lane0, ncols, h_true, y0, x0)
                     for g in sb.blocks:
                         cb = coded[g.cb_y * sb.num_cb_x + g.cb_x]
-                        if cb is None or not cb.data \
-                                or cb.num_passes == 0 \
-                                or cb.pass_length[0] == 0:
-                            continue  # zero block
-                        if cb.num_passes > 1 or cb.missing_msbs >= 30 \
-                                or cb.pass_length[0] < 2:
-                            return None
-                        d = cb.data
-                        lc = cb.pass_length[0]
-                        scup = (d[lc - 1] << 4) + (d[lc - 2] & 0xF)
-                        if scup < 2 or scup > lc or scup > 4079:
-                            return None
+                        dead = (cb is None or not cb.data
+                                or cb.num_passes == 0
+                                or cb.pass_length[0] == 0)
+                        scup = 0
+                        if not dead:
+                            if cb.num_passes > 1 \
+                                    or cb.missing_msbs >= 30 \
+                                    or cb.pass_length[0] < 2:
+                                return None
+                            d = cb.data
+                            lc = cb.pass_length[0]
+                            scup = (d[lc - 1] << 4) + (d[lc - 2] & 0xF)
+                            if scup < 2 or scup > lc or scup > 4079:
+                                return None
                         grp = groups.get(g.rect.w)
                         if grp is None:
                             grp = _Group(len(groups), g.rect.w)
                             groups[g.rect.w] = grp
                         lane = len(grp.members)
-                        grp.members.append((cb, scup))
+                        grp.members.append((None, 0) if dead
+                                           else (cb, scup))
+                        grp.live.append(not dead)
                         grp.h = max(grp.h, g.rect.h)
-                        grp.qh_lims.append((g.rect.h + 1) >> 1)
+                        grp.qh_lims.append(
+                            0 if dead else (g.rect.h + 1) >> 1)
                         y0 = g.rect.y0 - sb.rect.y0
                         x0 = g.rect.x0 - sb.rect.x0
                         if run is not None and run[0] == grp.gid \
@@ -189,9 +198,13 @@ def _build_plan(dec: 'TpuDecoder') -> Optional[_Plan]:
         # pallas lanes fill (S, 128) vregs -> pad to a 128 multiple
         grp.n_pad = _bucket(len(grp.members),
                             lo=128 if _use_pallas() else 8)
-        scups = np.array([m[1] for m in grp.members], np.int64)
-        lcups = np.array([m[0].pass_length[0] for m in grp.members],
+        scups = np.array([m[1] for m in grp.members if m[0] is not None],
                          np.int64)
+        lcups = np.array([m[0].pass_length[0] for m in grp.members
+                          if m[0] is not None], np.int64)
+        if scups.size == 0:
+            grp.words = (8, 8, 8)
+            continue
         wm = _bucket((int((scups - 1).max()) * 8 + 31) // 32 + 2)
         wv = _bucket((4 + int((scups - 2).max()) * 8 + 31) // 32 + 2)
         ws = _bucket((int((lcups - scups).max()) * 8 + 31) // 32 + 2)
@@ -229,37 +242,70 @@ def _tx_from_cb_j(raw, kmax, delta, reversible):
     return jnp.where(neg, -val, val)
 
 
-def _make_runner(plan: _Plan):
+def _make_runner(plan: _Plan, nframes: int = 1):
+    """Trace the fused decode graph for `nframes` same-geometry frames
+    batched along the codeblock lane axis (frame f of group g occupies
+    lanes [f*n_pad, (f+1)*n_pad)); reconstruction carries a leading
+    frame axis, so a video burst is still one device dispatch."""
     groups, placements, bands, tiles = (plan.groups, plan.placements,
                                         plan.bands, plan.tiles)
     nmembers = [len(g.members) for g in groups]
+    npads = [g.n_pad for g in groups]
     widths = [g.w for g in groups]
     heights = [g.h for g in groups]
+    F = nframes
 
     use_pallas = _use_pallas()
     if use_pallas:
         from .block_decode_pallas import decode_cleanup_pallas
+    wordss = [g.words for g in groups]
+    lane_starts = []
+    tl = 0
+    for g in groups:
+        lane_starts.append(tl)
+        tl += g.n_pad
 
-    def run(*flat):
+    def run(words, meta):
+        meta = meta.reshape(F, tl, 8)
         decs = []
         errs = []
-        for i, (nm, w, h) in enumerate(zip(nmembers, widths, heights)):
-            mel, vlc, ms, p, qhl = flat[i * 5:i * 5 + 5]
+        for i, (nm, npad, w, h) in enumerate(
+                zip(nmembers, npads, widths, heights)):
+            s0 = lane_starts[i]
+            mg = meta[:, s0:s0 + npad].reshape(F * npad, 8)
+
+            def unpack(oc, lc, W, guard):
+                off = mg[:, oc]
+                ln = mg[:, lc]
+                j = jnp.arange(W, dtype=jnp.int32)[None, :]
+                valid = j < ln[:, None]
+                idx = jnp.where(valid, off[:, None] + j, 0)
+                wv = jnp.take(words, idx, mode='clip')
+                return jnp.where(valid, wv, jnp.uint32(guard))
+
+            wm, wv_, ws_ = wordss[i]
+            mel = unpack(0, 1, wm, 0xFFFFFFFF)
+            vlc = unpack(2, 3, wv_, 0)
+            ms = unpack(4, 5, ws_, 0xFFFFFFFF)
+            p = mg[:, 6]
+            qhl = mg[:, 7]
             if use_pallas:
                 d, e = decode_cleanup_pallas(mel, vlc, ms, p, w, h, qhl)
             else:
                 d, e = decode_cleanup_core(mel, vlc, ms, p, w, h, qhl)
-            decs.append(d)
-            errs.append(e[:nm])
-        planes = [jnp.zeros((H, W), jnp.uint32)
+            d = jnp.where(qhl[:, None, None] > 0, d, jnp.uint32(0))
+            decs.append(d.reshape(F, npad, h, w))
+            errs.append(e.reshape(F, npad)[:, :nm])
+        planes = [jnp.zeros((F, H, W), jnp.uint32)
                   for (H, W, _, _, _) in bands]
         for (gid, lane0, nrows, ncols, h_t, y0, bid, x0) in placements:
             w_t = widths[gid]
-            d = decs[gid][lane0:lane0 + nrows * ncols, :h_t, :w_t]
-            strip = d.reshape(nrows, ncols, h_t, w_t) \
-                .transpose(0, 2, 1, 3).reshape(nrows * h_t, ncols * w_t)
+            d = decs[gid][:, lane0:lane0 + nrows * ncols, :h_t, :w_t]
+            strip = d.reshape(F, nrows, ncols, h_t, w_t) \
+                .transpose(0, 1, 3, 2, 4) \
+                .reshape(F, nrows * h_t, ncols * w_t)
             planes[bid] = jax.lax.dynamic_update_slice(
-                planes[bid], strip, (y0, x0))
+                planes[bid], strip, (0, y0, x0))
         deq = [_tx_from_cb_j(planes[i], kmax, delta, rev)
                for i, (_, _, kmax, delta, rev) in enumerate(bands)]
 
@@ -298,9 +344,56 @@ def _make_runner(plan: _Plan):
                     c = jnp.clip(c, lo, hi)
                 conv.append(c.astype(dt))
             outs.append(tuple(conv))
-        return tuple(errs), tuple(outs)
+        err_all = jnp.concatenate([e.reshape(-1) for e in errs]) \
+            if errs else jnp.zeros((1,), bool)
+        return err_all, tuple(outs)
 
     return jax.jit(run)
+
+
+def _bucket_words(n: int) -> int:
+    """Dense-buffer size bucket: pow2 to 256Ki words, then 256Ki
+    multiples — bounds jit variants while keeping upload slack low."""
+    b = 4096
+    while b < n and b < (1 << 18):
+        b *= 2
+    if n <= b:
+        return b
+    return -(-n // (1 << 18)) * (1 << 18)
+
+
+def _pack_burst(frames_groups: List[List[dict]]):
+    """Pack every stream word of a burst into ONE uint32 buffer and
+    the per-lane bookkeeping into ONE int32 buffer: the tunnel to the
+    device is latency-dominated (BASELINE.md), so transfer count
+    matters more than layout elegance.
+
+    meta columns per lane: mel_off, lm, vlc_off, lv, ms_off, ls, p,
+    qhl (offsets absolute into the words buffer; qhl==0 marks a dead
+    lane)."""
+    chunks = []
+    metas = []
+    cursor = 0
+    for fg in frames_groups:
+        for gd in fg:
+            cols = []
+            for k, lk in (('mel', 'lm'), ('vlc', 'lv'), ('ms', 'ls')):
+                arr, ln = gd[k], gd[lk]
+                w = arr.shape[1]
+                mask = np.arange(w, dtype=np.int32)[None, :] < ln[:, None]
+                chunks.append(arr[mask])
+                offs = cursor + np.concatenate(
+                    [[0], np.cumsum(ln[:-1], dtype=np.int64)])
+                cursor += int(ln.sum())
+                cols += [offs.astype(np.int32), ln]
+            cols += [gd['p'], gd['qhl']]
+            metas.append(np.stack(cols, axis=1))
+    words = np.concatenate(chunks)
+    dpad = _bucket_words(words.size)
+    words = np.pad(words, (0, dpad - words.size))
+    meta = np.ascontiguousarray(np.concatenate(metas, axis=0),
+                                np.int32)
+    return words, meta.reshape(-1)
 
 
 class TpuDecoder(Decoder):
@@ -317,43 +410,59 @@ class TpuDecoder(Decoder):
              for st in self.tiles})
 
     # -- fused fast path ---------------------------------------------------
-    def _flat_inputs(self, plan: _Plan) -> List[np.ndarray]:
-        """Host prep: per group [mel, vlc, ms, p, qh_lim] arrays."""
-        flat = []
+    _DUMMY = b'\x00\x22'  # minimal well-formed segment for dead lanes
+
+    def _group_arrays(self, plan: _Plan) -> List[dict]:
+        """Host prep per group: padded word planes + per-lane dense
+        lengths (upper bounds; rows carry the correct guard fill
+        beyond them) + p/qh_lim."""
+        out = []
         for g in plan.groups:
             n = len(g.members)
             pad = g.n_pad - n
-            datas = [bytes(m[0].data) for m in g.members]
-            lcups = np.array([m[0].pass_length[0] for m in g.members],
-                             np.int64)
-            miss = np.array([m[0].missing_msbs for m in g.members],
-                            np.int32)
-            scups = np.array([m[1] for m in g.members], np.int64)
-            datas += [datas[0]] * pad
-            lcups = np.concatenate([lcups, np.repeat(lcups[:1], pad)])
-            miss = np.concatenate([miss, np.repeat(miss[:1], pad)])
-            scups = np.concatenate([scups, np.repeat(scups[:1], pad)])
+            datas = [bytes(m[0].data) if m[0] is not None
+                     else self._DUMMY for m in g.members]
+            lcups = np.array([m[0].pass_length[0] if m[0] is not None
+                              else 2 for m in g.members], np.int64)
+            miss = np.array([m[0].missing_msbs if m[0] is not None
+                             else 0 for m in g.members], np.int32)
+            scups = np.array([m[1] if m[0] is not None else 2
+                              for m in g.members], np.int64)
+            datas += [self._DUMMY] * pad
+            lcups = np.concatenate([lcups, np.full(pad, 2, np.int64)])
+            miss = np.concatenate([miss, np.zeros(pad, np.int32)])
+            scups = np.concatenate([scups, np.full(pad, 2, np.int64)])
             streams = prep_cleanup_streams(datas, lcups, scups,
                                            min_words=g.words)
-            qhl = np.concatenate([
-                np.array(g.qh_lims, np.int32),
-                np.full(pad, (g.h + 1) >> 1, np.int32)])
-            flat += [streams['mel'], streams['vlc'], streams['ms'],
-                     (30 - miss).astype(np.int32), qhl]
-        return flat
+            wm, wv, ws = g.words
+            qhl = np.concatenate([np.array(g.qh_lims, np.int32),
+                                  np.zeros(pad, np.int32)])
+            out.append({
+                'mel': streams['mel'], 'vlc': streams['vlc'],
+                'ms': streams['ms'],
+                'lm': np.minimum(wm, (scups - 1) * 8 // 32 + 3)
+                      .astype(np.int32),
+                'lv': np.minimum(wv, ((scups - 2) * 8 + 4) // 32 + 3)
+                      .astype(np.int32),
+                'ls': np.minimum(ws, (lcups - scups) * 8 // 32 + 3)
+                      .astype(np.int32),
+                'p': (30 - miss).astype(np.int32),
+                'qhl': qhl,
+            })
+        return out
+
 
     def _decode_fast(self, plan: _Plan) -> List[np.ndarray]:
-        runner = _RUNNERS.get(plan.key)
+        runner = _RUNNERS.get((plan.key, 1))
         if runner is None:
-            runner = _make_runner(plan)
-            _RUNNERS[plan.key] = runner
-        flat = self._flat_inputs(plan)
-        errs, outs = runner(*flat)
-        for e in errs:
-            if np.asarray(e).any():
-                raise ValueError('U_q exceeds missing_msbs + 2')
+            runner = _make_runner(plan, 1)
+            _RUNNERS[(plan.key, 1)] = runner
+        words, meta = _pack_burst([self._group_arrays(plan)])
+        errs, outs = runner(words, meta)
+        if np.asarray(errs).any():
+            raise ValueError('U_q exceeds missing_msbs + 2')
         tile_planes = {
-            st.geom.idx: [np.asarray(p) for p in outs[i]]
+            st.geom.idx: [np.asarray(p)[0] for p in outs[i]]
             for i, st in enumerate(self.tiles)}
         return self._assemble(tile_planes)
 
@@ -503,3 +612,114 @@ def decode_tpu(data: bytes, resilient: bool = False,
     return TpuDecoder(data, resilient=resilient,
                       skipped_res_for_read=skip_res,
                       skipped_res_for_recon=skip_res).decode()
+
+
+_F_BUCKETS = (8, 4, 2, 1)
+
+
+class VideoDecoder:
+    """Pipelined burst decoder for same-geometry frame sequences.
+
+    submit() parses + packs a burst on the host and dispatches the
+    fused graph asynchronously; collect() materializes the oldest
+    in-flight burst.  With >=2 bursts in flight, host prep of burst
+    k+1, device compute of burst k and the host-ward transfer of
+    burst k-1 overlap — the steady-state role of codestream.restart()
+    + the reader/worker split in ojph_stream_expand
+    (ojph_codestream.h:109-122, stream_expand thread pool).
+    """
+
+    def __init__(self, skip_res: int = 0):
+        self.skip_res = skip_res
+        self._inflight = []
+
+    def submit(self, streams: List[bytes]) -> None:
+        decs = [TpuDecoder(s, skipped_res_for_read=self.skip_res,
+                           skipped_res_for_recon=self.skip_res)
+                for s in streams]
+        plans = [_build_plan(d) for d in decs]
+        if any(p is None for p in plans) or \
+                len({p.key for p in plans}) != 1 or \
+                len(streams) not in _F_BUCKETS:
+            # mixed/fallback burst: decode synchronously
+            self._inflight.append([d.decode() for d in decs])
+            return
+        F = len(streams)
+        key = plans[0].key
+        runner = _RUNNERS.get((key, F))
+        if runner is None:
+            runner = _make_runner(plans[0], F)
+            _RUNNERS[(key, F)] = runner
+        words, meta = _pack_burst(
+            [d._group_arrays(p) for d, p in zip(decs, plans)])
+        errs, outs = runner(words, meta)  # async dispatch
+        self._inflight.append((decs, errs, outs))
+
+    def collect(self) -> List[List[np.ndarray]]:
+        """Block for and return the oldest submitted burst's frames."""
+        item = self._inflight.pop(0)
+        if isinstance(item, list):
+            return item
+        decs, errs, outs = item
+        if np.asarray(errs).any():
+            raise ValueError('U_q exceeds missing_msbs + 2')
+        results = []
+        for fi, d in enumerate(decs):
+            tile_planes = {
+                st.geom.idx: [np.asarray(p)[fi] for p in outs[ti]]
+                for ti, st in enumerate(d.tiles)}
+            results.append(d._assemble(tile_planes))
+        return results
+
+    @property
+    def depth(self) -> int:
+        return len(self._inflight)
+
+
+def decode_tpu_batch(streams: List[bytes], resilient: bool = False,
+                     skip_res: int = 0) -> List[List[np.ndarray]]:
+    """Decode many codestreams, batching same-geometry frames into one
+    device dispatch (video burst decode).
+
+    Frames whose parsed geometry maps to the same plan share a traced
+    runner; their codeblock batches are concatenated along the lane
+    axis, so Tier-1, DWT and color for the whole burst execute as a
+    single graph and transfer in one round trip.  Mixed-geometry
+    inputs and fallback streams decode individually.  Equivalent
+    steady-state role as codestream.restart() + the frame loop of
+    ojph_stream_expand (ojph_codestream.h:109-122).
+    """
+    decs = [TpuDecoder(s, resilient=resilient,
+                       skipped_res_for_read=skip_res,
+                       skipped_res_for_recon=skip_res) for s in streams]
+    results: List[Optional[list]] = [None] * len(streams)
+    by_key: Dict[tuple, list] = {}
+    for i, d in enumerate(decs):
+        plan = _build_plan(d)
+        if plan is None:
+            results[i] = d.decode()
+            continue
+        by_key.setdefault(plan.key, []).append((i, d, plan))
+    for key, items in by_key.items():
+        pos = 0
+        while pos < len(items):
+            rem = len(items) - pos
+            F = next(f for f in _F_BUCKETS if f <= rem)
+            chunk = items[pos:pos + F]
+            pos += F
+            plan = chunk[0][2]
+            runner = _RUNNERS.get((key, F))
+            if runner is None:
+                runner = _make_runner(plan, F)
+                _RUNNERS[(key, F)] = runner
+            words, meta = _pack_burst(
+                [d._group_arrays(pl) for (_, d, pl) in chunk])
+            errs, outs = runner(words, meta)
+            if np.asarray(errs).any():
+                raise ValueError('U_q exceeds missing_msbs + 2')
+            for fi, (i, d, _) in enumerate(chunk):
+                tile_planes = {
+                    st.geom.idx: [np.asarray(p)[fi] for p in outs[ti]]
+                    for ti, st in enumerate(d.tiles)}
+                results[i] = d._assemble(tile_planes)
+    return results

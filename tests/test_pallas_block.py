@@ -20,10 +20,11 @@ def _group_inputs(stream):
     dec = TpuDecoder(stream)
     plan = _build_plan(dec)
     assert plan is not None
-    flat = dec._flat_inputs(plan)
+    gds = dec._group_arrays(plan)
     out = []
-    for i, g in enumerate(plan.groups):
-        out.append((g, flat[i * 5:i * 5 + 5]))
+    for g, gd in zip(plan.groups, gds):
+        out.append((g, (gd['mel'], gd['vlc'], gd['ms'], gd['p'],
+                        gd['qhl'])))
     return out
 
 
