@@ -54,6 +54,11 @@ def _load():
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64]
+        lib.prep_cleanup_dense.restype = None
+        lib.prep_cleanup_dense.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64]
         lib.pack_cleanup_segments.restype = None
         lib.pack_cleanup_segments.argtypes = [
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -104,6 +109,26 @@ def prep_cleanup_streams(datas, lcups, scups, min_words=None):
         mel.ctypes.data, mel_w, vlc.ctypes.data, vlc_w,
         ms.ctypes.data, ms_w)
     return {'mel': mel, 'vlc': vlc, 'ms': ms}
+
+
+def prep_cleanup_dense(blob: bytes, offsets, lcups, scups, meta,
+                       dense, nthreads: int = 0):
+    """Unstuff a lane batch straight into the shared dense word
+    buffer at the positions given by meta (see ojtpu_native.cpp)."""
+    lib = _load()
+    assert lib is not None
+    n = len(lcups)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    lcups = np.ascontiguousarray(lcups, np.int64)
+    scups = np.ascontiguousarray(scups, np.int64)
+    meta = np.ascontiguousarray(meta, np.int32)
+    data = np.frombuffer(blob, dtype=np.uint8)
+    if nthreads <= 0:
+        nthreads = min(8, os.cpu_count() or 1)
+    lib.prep_cleanup_dense(
+        data.ctypes.data, offsets.ctypes.data, lcups.ctypes.data,
+        scups.ctypes.data, n, meta.ctypes.data, dense.ctypes.data,
+        nthreads)
 
 
 def pack_cleanup_segments(mel_e, vlc_c, vlc_l, ms_v, ms_l, pairs_real,

@@ -13,6 +13,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -102,6 +104,96 @@ void prep_cleanup_streams(const uint8_t* data, const int64_t* offsets,
       }
       fill_ones_from(ms_out + i * ms_words, bw.pos, ms_words);
     }
+  }
+}
+
+}  // extern "C"
+
+namespace {
+
+// One lane's three unstuffed streams written straight at their final
+// positions in a shared dense word buffer (regions are disjoint, so
+// lanes parallelize freely).
+inline void prep_one_dense(const uint8_t* d, int64_t lcup, int64_t scup,
+                           uint32_t* dense,
+                           int64_t mo, int64_t ml, int64_t vo,
+                           int64_t vl, int64_t so, int64_t sl) {
+  // ---- MEL: bytes [lcup-scup, lcup-1), MSB-first, last |= 0xF ----
+  {
+    uint32_t* row = dense + mo;
+    std::memset(row, 0, static_cast<size_t>(ml) * 4);
+    BitWriter bw(row);
+    const uint8_t* seg = d + (lcup - scup);
+    const int64_t len = scup - 1;
+    uint8_t prev = 0;
+    for (int64_t k = 0; k < len; ++k) {
+      uint8_t b = seg[k];
+      if (k == len - 1) b |= 0xF;
+      bw.push_bits_msb(b, (prev == 0xFF) ? 6 : 7, 0);
+      prev = b;
+    }
+    fill_ones_from(row, bw.pos, ml);
+  }
+  // ---- VLC backward: nibble of d[lcup-2], then bytes downward ----
+  {
+    uint32_t* row = dense + vo;
+    std::memset(row, 0, static_cast<size_t>(vl) * 4);
+    BitWriter bw(row);
+    const uint8_t nib_byte = d[lcup - 2];
+    const uint32_t nib = nib_byte >> 4;
+    bw.push_bits_lsb(nib, ((nib & 7) == 7) ? 3 : 4);
+    bool unstuff = (nib_byte | 0xF) > 0x8F;
+    for (int64_t k = 0; k < scup - 2; ++k) {
+      const uint8_t b = d[lcup - 3 - k];
+      const int nb = 8 - ((unstuff && ((b & 0x7F) == 0x7F)) ? 1 : 0);
+      bw.push_bits_lsb(b, nb);
+      unstuff = b > 0x8F;
+    }
+    // fill stays zero
+  }
+  // ---- MagSgn forward: bytes [0, lcup-scup), LSB-first ----
+  {
+    uint32_t* row = dense + so;
+    std::memset(row, 0, static_cast<size_t>(sl) * 4);
+    BitWriter bw(row);
+    const int64_t len = lcup - scup;
+    uint8_t prev = 0;
+    for (int64_t k = 0; k < len; ++k) {
+      const uint8_t b = d[k];
+      bw.push_bits_lsb(b, (prev == 0xFF) ? 7 : 8);
+      prev = b;
+    }
+    fill_ones_from(row, bw.pos, sl);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Unstuff a batch of cleanup segments directly into a shared dense
+// uint32 buffer (per-lane offsets/lengths precomputed by the caller;
+// regions must not overlap).  meta: int32 [n, 8] rows of
+// (mel_off, mel_len, vlc_off, vlc_len, ms_off, ms_len, p, qhl) —
+// the device-side layout of pipeline._pack_burst.
+void prep_cleanup_dense(const uint8_t* data, const int64_t* offsets,
+                        const int64_t* lcups, const int64_t* scups,
+                        int64_t n, const int32_t* meta,
+                        uint32_t* dense, int64_t nthreads) {
+  if (nthreads < 1) nthreads = 1;
+  auto work = [&](int64_t t) {
+    for (int64_t i = t; i < n; i += nthreads) {
+      const int32_t* m = meta + i * 8;
+      prep_one_dense(data + offsets[i], lcups[i], scups[i], dense,
+                     m[0], m[1], m[2], m[3], m[4], m[5]);
+    }
+  };
+  if (nthreads == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> ts;
+    for (int64_t t = 0; t < nthreads; ++t) ts.emplace_back(work, t);
+    for (auto& th : ts) th.join();
   }
 }
 

@@ -15,10 +15,15 @@ across grid steps, and each step writes one decoded quad row
 (2 sample rows) to the output.
 
 Per-lane divergent memory access (each lane sits at a different word
-of its own stream) has no native TPU primitive; refills use a
-mask-multiply-reduce over the word plane, and the 2048-entry VLC
-tables are gathered through Mosaic's native 128-lane dynamic_gather in
-16 chunk passes.
+of its own stream) has no native TPU primitive; a word fetch is a
+mask-multiply-reduce over the whole word plane (cost ~ W vregs).
+That makes fetch COUNT the kernel's cost driver, so readers use a
+160-bit five-limb window refilled adaptively: `refill_to(target)`
+fetches only while some lane is short (an any-lane scalar condition
+skips the whole fetch otherwise), which makes global fetch work track
+actual stream consumption instead of the worst case per step.  The
+2048-entry VLC tables are gathered through Mosaic's native 128-lane
+dynamic_gather in 16 chunk passes.
 """
 from __future__ import annotations
 
@@ -31,7 +36,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..coding.tables import MEL_E, get_tables
+from ..coding.tables import get_tables
 
 _U32 = jnp.uint32
 
@@ -69,7 +74,8 @@ def _mel_exp(k):
 
 
 def _fetch(words_ref, wi, nwords: int):
-    """words_ref (W,S,128); wi (S,128) int32 -> word per lane (clamped)."""
+    """words_ref (W,S,128); wi (S,128) int32 -> word per lane (clamped
+    onto the guard words)."""
     wic = jnp.minimum(wi, nwords - 1)
     iota = lax.broadcasted_iota(jnp.int32, (nwords,) + wi.shape, 0)
     m = iota == wic[None]
@@ -78,29 +84,92 @@ def _fetch(words_ref, wi, nwords: int):
     return lax.bitcast_convert_type(jnp.sum(wsel, axis=0), _U32)
 
 
-# -- 64-bit bit window kept as (lo, hi, nbits, word_index), all (S,128) ----
+# ---------------------------------------------------------------------------
+# Five-limb (160-bit) bit window, consumed LSB-first from limb 0.
+# State tuple: (w0..w4, nb, wi); nb = valid bits, wi = next word index.
+# NB: min/max/clip stay in int32 — unsigned min/max crashes the Mosaic
+# compiler on this target.
+# ---------------------------------------------------------------------------
 
-def _refill(lo, hi, nb, wi, words_ref, nwords: int):
-    # NB: min/max/clip stay in int32 — unsigned min/max crashes the
-    # Mosaic compiler on this target.
-    w = _fetch(words_ref, wi, nwords)
-    need = nb < 32
-    sh_lo = jnp.where(nb == 0, w,
-                      lo | (w << jnp.minimum(nb, 31).astype(_U32)))
-    sh_hi = jnp.where(nb == 0, _u32(0),
-                      w >> (_u32(32) - jnp.clip(nb, 1, 31).astype(_U32)))
-    return (jnp.where(need, sh_lo, lo), jnp.where(need, sh_hi, hi),
-            jnp.where(need, nb + 32, nb), jnp.where(need, wi + 1, wi))
+_NLIMB = 5
 
 
-def _advance(lo, hi, nb, n):
+def _reader_zero(S):
+    z = jnp.zeros((S, 128), _U32)
+    zi = jnp.zeros((S, 128), jnp.int32)
+    return (z, z, z, z, z, zi, zi)
+
+
+def _adv(st, n):
+    """Consume n in [0, 32] bits (n may vary per lane)."""
+    w = list(st[:_NLIMB])
+    nb, wi = st[_NLIMB], st[_NLIMB + 1]
     n = n.astype(jnp.int32) if hasattr(n, 'astype') \
         else jnp.full_like(nb, n)
     nc = jnp.clip(n, 1, 31).astype(_U32)
-    lo_mid = (lo >> nc) | (hi << (_u32(32) - nc))
-    lo2 = jnp.where(n == 0, lo, jnp.where(n == 32, hi, lo_mid))
-    hi2 = jnp.where(n == 0, hi, jnp.where(n == 32, _u32(0), hi >> nc))
-    return lo2, hi2, nb - n
+    inv = _u32(32) - nc
+    out = []
+    for k in range(_NLIMB):
+        hi_part = (w[k + 1] << inv) if k + 1 < _NLIMB else _u32(0)
+        mid = (w[k] >> nc) | hi_part
+        full = w[k + 1] if k + 1 < _NLIMB else jnp.zeros_like(w[k])
+        out.append(jnp.where(n == 0, w[k],
+                             jnp.where(n == 32, full, mid)))
+    return (*out, nb - n, wi)
+
+
+def _push_word(st, wv):
+    """Insert 32 fetched bits at position nb (assumes nb <= 128)."""
+    w = list(st[:_NLIMB])
+    nb, wi = st[_NLIMB], st[_NLIMB + 1]
+    limb = nb >> 5
+    off = (nb & 31).astype(_U32)
+    lo_ins = wv << off
+    hi_ins = jnp.where(off == 0, _u32(0),
+                       wv >> (_u32(32) - jnp.clip(nb & 31, 1, 31)
+                              .astype(_U32)))
+    out = []
+    for k in range(_NLIMB):
+        v = w[k]
+        v = jnp.where(limb == k, v | lo_ins, v)
+        if k > 0:
+            v = jnp.where(limb == k - 1, v | hi_ins, v)
+        out.append(v)
+    return (*out, nb + 32, wi + 1)
+
+
+def _refill_to(st, target: int, words_ref, nwords: int):
+    """Fetch words until every lane has >= target valid bits.  Each
+    trip is skipped entirely (scalar branch) once no lane is short —
+    fetch work tracks real consumption, not the worst case."""
+    trips = (target + 31) // 32
+    for _ in range(trips):
+        need = st[_NLIMB] < target
+
+        def fetch(s):
+            nd = s[_NLIMB] < target
+            wv = _fetch(words_ref, s[_NLIMB + 1], nwords)
+            pushed = _push_word(s, wv)
+            return tuple(jnp.where(nd, p, q) if p.dtype == q.dtype
+                         else p
+                         for p, q in zip(pushed, s))
+
+        st = lax.cond(jnp.any(need), fetch, lambda s: s, st)
+    return st
+
+
+def _peek(st):
+    return st[0]
+
+
+def _extract(st, k):
+    """Read k (per-lane, 0..31) bits LSB-first; caller refilled."""
+    k = k.astype(jnp.int32) if hasattr(k, 'astype') \
+        else jnp.full((st[0].shape[0], st[0].shape[1]), k, jnp.int32)
+    mask = (_u32(1) << jnp.clip(k, 0, 31).astype(_U32)) - _u32(1)
+    mask = jnp.where(k >= 32, _u32(0xFFFFFFFF), mask)
+    val = st[0] & mask
+    return val, _adv(st, k)
 
 
 def _bitrev(v, length, maxlen=5):
@@ -114,76 +183,83 @@ def _bitrev(v, length, maxlen=5):
     return r
 
 
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+# scratch row map inside the (24, S, 128) u32 state buffer
+_MEL0, _VLC0, _MS0 = 0, 7, 14          # 7 rows each: w0..w4, nb, wi
+_MELK, _RUN, _PVN = 21, 22, 23
+
+
 def _make_kernel(qw: int, qh: int, S: int, wm: int, wv: int, ws: int,
                  width: int):
     pairs = (qw + 1) // 2
-    qw2 = pairs * 2
+
+    def ld_reader(state, base):
+        return tuple(
+            state[base + k] if k < _NLIMB
+            else state[base + k].astype(jnp.int32)
+            for k in range(7))
+
+    def st_reader(state, base, st):
+        for k in range(_NLIMB):
+            state[base + k] = st[k]
+        state[base + 5] = st[5].astype(_U32)
+        state[base + 6] = st[6].astype(_U32)
 
     def mel_get_run(mask, mel, mel_k, run):
-        lo, hi, nb, wi = mel
+        """One masked MEL run decode; consumes <= 6 bits (caller must
+        have refilled >= 18 for up to 3 calls per pair)."""
         eva = _mel_exp(jnp.clip(mel_k, 0, 12))
         nbit = jnp.where(mask, 1, 0)
-        b = lo & ((_u32(1) << nbit.astype(_U32)) - _u32(1))
-        lo, hi, nb = _advance(lo, hi, nb, nbit)
+        b = _peek(mel) & ((_u32(1) << nbit.astype(_U32)) - _u32(1))
+        mel = _adv(mel, nbit)
         one = mask & (b == 1)
         nev = jnp.where(mask & (b == 0), eva, 0)
-        vrev = lo & ((_u32(1) << jnp.clip(nev, 0, 31).astype(_U32))
-                     - _u32(1))
-        lo, hi, nb = _advance(lo, hi, nb, nev)
+        vrev = _peek(mel) & ((_u32(1) << jnp.clip(nev, 0, 31)
+                              .astype(_U32)) - _u32(1))
+        mel = _adv(mel, nev)
         v = _bitrev(vrev, eva)
         run_one = ((_u32(1) << eva.astype(_U32)) - _u32(1)) << _u32(1)
         run_zero = (v << _u32(1)) + _u32(1)
         new_run = jnp.where(one, run_one, run_zero).astype(jnp.int32)
         new_k = jnp.where(one, jnp.minimum(mel_k + 1, 12),
                           jnp.maximum(mel_k - 1, 0))
-        return (jnp.where(mask, new_run, run), (lo, hi, nb, wi),
+        return (jnp.where(mask, new_run, run), mel,
                 jnp.where(mask, new_k, mel_k))
 
     def kernel(melw, vlcw, msw, p_ref, qhl_ref, vlct, uvlct,
                dec_out, err_out,
-               mel_s, vlc_s, ms_s, misc_s, inf_prev, inf_cur, u_row,
-               scr, newv):
+               state, inf_prev, inf_cur, u_row, scr, newv):
         r = pl.program_id(0)
         zero = jnp.zeros((S, 128), _U32)
-        zi = jnp.zeros((S, 128), jnp.int32)
 
         @pl.when(r == 0)
         def _init():
-            for sref in (mel_s, vlc_s, ms_s):
-                sref[:] = jnp.zeros_like(sref)
-            misc_s[:] = jnp.zeros_like(misc_s)
+            state[:] = jnp.zeros_like(state)
             inf_prev[:] = jnp.zeros_like(inf_prev)
             inf_cur[:] = jnp.zeros_like(inf_cur)
             scr[:] = jnp.zeros_like(scr)
             newv[:] = jnp.zeros_like(newv)
             err_out[:] = jnp.zeros_like(err_out)
-            # initial MEL refill + first get_run (decoder32.cpp:862)
-            mel = _refill(zero, zero, zi, zi, melw, wm)
+            # initial refill + first MEL get_run (decoder32.cpp:862)
+            mel = _refill_to(_reader_zero(S), 24, melw, wm)
+            zi = jnp.zeros((S, 128), jnp.int32)
             run0, mel, melk0 = mel_get_run(
                 jnp.ones((S, 128), bool), mel, zi, zi)
-            mel_s[0], mel_s[1] = mel[0], mel[1]
-            misc_s[0], misc_s[1] = (mel[2].astype(_U32),
-                                    mel[3].astype(_U32))
-            misc_s[2] = melk0.astype(_U32)
-            misc_s[3] = run0.astype(_U32)
-            vlc = _refill(zero, zero, zi, zi, vlcw, wv)
-            vlc_s[0], vlc_s[1] = vlc[0], vlc[1]
-            misc_s[4], misc_s[5] = (vlc[2].astype(_U32),
-                                    vlc[3].astype(_U32))
-            ms = _refill(zero, zero, zi, zi, msw, ws)
-            ms_s[0], ms_s[1] = ms[0], ms[1]
-            misc_s[6], misc_s[7] = (ms[2].astype(_U32),
-                                    ms[3].astype(_U32))
-            misc_s[8] = zero  # reserved
-            misc_s[9] = zero  # prev_vn (step2 carry)
+            st_reader(state, _MEL0, mel)
+            st_reader(state, _VLC0, _reader_zero(S))
+            st_reader(state, _MS0, _reader_zero(S))
+            state[_MELK] = melk0.astype(_U32)
+            state[_RUN] = run0.astype(_U32)
+            state[_PVN] = zero
 
         initial = r == 0
-        mel = (mel_s[0], mel_s[1], misc_s[0].astype(jnp.int32),
-               misc_s[1].astype(jnp.int32))
-        vlc = (vlc_s[0], vlc_s[1], misc_s[4].astype(jnp.int32),
-               misc_s[5].astype(jnp.int32))
-        mel_k = misc_s[2].astype(jnp.int32)
-        run = misc_s[3].astype(jnp.int32)
+        mel = ld_reader(state, _MEL0)
+        vlc = ld_reader(state, _VLC0)
+        mel_k = state[_MELK].astype(jnp.int32)
+        run = state[_RUN].astype(jnp.int32)
         c_q = zero  # reset per row (row_start in the scan version)
 
         tbl_off = jnp.where(initial, 0, 1024)
@@ -193,8 +269,9 @@ def _make_kernel(qw: int, qh: int, S: int, wm: int, wv: int, ws: int,
         def pair_body(pi, carry):
             vlc, mel, mel_k, run, c_q = carry
             qx2 = pi * 2
-            vlc = _refill(*vlc, vlcw, wv)
-            mel = _refill(*mel, melw, wm)
+            # per-pair worst case: VLC 7+7+15 bits, MEL 3 runs x 6 bits
+            vlc = _refill_to(vlc, 32, vlcw, wv)
+            mel = _refill_to(mel, 18, melw, wm)
             a0 = inf_prev[pl.ds(qx2, 1)][0]
             a1 = inf_prev[pl.ds(qx2 + 1, 1)][0]
             a2 = inf_prev[pl.ds(qx2 + 2, 1)][0]
@@ -203,7 +280,7 @@ def _make_kernel(qw: int, qh: int, S: int, wm: int, wv: int, ws: int,
             c_q = jnp.where(initial, c_q,
                             c_q | ((a0 & _u32(0xA0)) << _u32(2))
                             | ((a1 & _u32(0x20)) << _u32(4)))
-            idx0 = tbl_off + (c_q + (vlc[0] & _u32(0x7F))) \
+            idx0 = tbl_off + (c_q + (_peek(vlc) & _u32(0x7F))) \
                 .astype(jnp.int32)
             t0 = _tbl_lookup(vlct, idx0, 16)
             cz = (c_q == 0)
@@ -220,11 +297,9 @@ def _make_kernel(qw: int, qh: int, S: int, wm: int, wv: int, ws: int,
                 | ((t0 & _u32(0x80)) << _u32(1))
                 | (a0 & _u32(0x80)) | ((a1 & _u32(0xA0)) << _u32(2))
                 | ((a2 & _u32(0x20)) << _u32(4)))
-            lo, hi, nb = _advance(vlc[0], vlc[1], vlc[2],
-                                  (t0 & _u32(7)).astype(jnp.int32))
-            vlc = (lo, hi, nb, vlc[3])
+            vlc = _adv(vlc, (t0 & _u32(7)).astype(jnp.int32))
 
-            idx1 = tbl_off + (c_q + (vlc[0] & _u32(0x7F))) \
+            idx1 = tbl_off + (c_q + (_peek(vlc) & _u32(0x7F))) \
                 .astype(jnp.int32)
             t1 = _tbl_lookup(vlct, idx1, 16)
             cz1 = (c_q == 0) & second
@@ -241,11 +316,9 @@ def _make_kernel(qw: int, qh: int, S: int, wm: int, wv: int, ws: int,
                 ((t1 & _u32(0x40)) << _u32(2))
                 | ((t1 & _u32(0x80)) << _u32(1))
                 | (a1 & _u32(0x80)))
-            lo, hi, nb = _advance(vlc[0], vlc[1], vlc[2],
-                                  (t1 & _u32(7)).astype(jnp.int32))
-            vlc = (lo, hi, nb, vlc[3])
+            vlc = _adv(vlc, (t1 & _u32(7)).astype(jnp.int32))
 
-            # u decode for the pair
+            # ---- u decode for the pair (decoder32.cpp:1001-1088) ----
             uvlc_mode = ((t0 & _u32(8)) << _u32(3)) \
                 | ((t1 & _u32(8)) << _u32(4))
             needu = initial & (uvlc_mode == 0xC0)
@@ -254,18 +327,13 @@ def _make_kernel(qw: int, qh: int, S: int, wm: int, wv: int, ws: int,
                                   uvlc_mode + _u32(0x40), uvlc_mode)
             run, mel, mel_k = mel_get_run(needu & (run < 0), mel,
                                           mel_k, run)
-            uidx = u_off + (uvlc_mode + (vlc[0] & _u32(0x3F))) \
+            uidx = u_off + (uvlc_mode + (_peek(vlc) & _u32(0x3F))) \
                 .astype(jnp.int32)
             ue = _tbl_lookup(uvlct, uidx, 6)
-            lo, hi, nb = _advance(vlc[0], vlc[1], vlc[2],
-                                  (ue & _u32(7)).astype(jnp.int32))
+            vlc = _adv(vlc, (ue & _u32(7)).astype(jnp.int32))
             ue = ue >> _u32(3)
             length = (ue & _u32(0xF)).astype(jnp.int32)
-            mask_l = (_u32(1) << jnp.clip(length, 0, 31).astype(_U32)) \
-                - _u32(1)
-            tmp = lo & jnp.where(length >= 32, _u32(0xFFFFFFFF), mask_l)
-            lo, hi, nb = _advance(lo, hi, nb, length)
-            vlc = (lo, hi, nb, vlc[3])
+            tmp, vlc = _extract(vlc, length)
             ue = ue >> _u32(4)
             len0 = (ue & _u32(7)).astype(_U32)
             ue = ue >> _u32(3)
@@ -280,17 +348,14 @@ def _make_kernel(qw: int, qh: int, S: int, wm: int, wv: int, ws: int,
         vlc, mel, mel_k, run, c_q = lax.fori_loop(
             0, pairs, pair_body, (vlc, mel, mel_k, run, c_q))
 
-        mel_s[0], mel_s[1] = mel[0], mel[1]
-        misc_s[0], misc_s[1] = mel[2].astype(_U32), mel[3].astype(_U32)
-        misc_s[2] = mel_k.astype(_U32)
-        misc_s[3] = run.astype(_U32)
-        vlc_s[0], vlc_s[1] = vlc[0], vlc[1]
-        misc_s[4], misc_s[5] = vlc[2].astype(_U32), vlc[3].astype(_U32)
+        st_reader(state, _MEL0, mel)
+        st_reader(state, _VLC0, vlc)
+        state[_MELK] = mel_k.astype(_U32)
+        state[_RUN] = run.astype(_U32)
 
         # ---------------- step 2: MagSgn sample fill --------------------
-        ms = (ms_s[0], ms_s[1], misc_s[6].astype(jnp.int32),
-              misc_s[7].astype(jnp.int32))
-        prev_vn = misc_s[9]
+        ms = ld_reader(state, _MS0)
+        prev_vn = state[_PVN]
         err = err_out[:]
         p = p_ref[:].astype(_U32)
         mmsbp2 = _u32(32) - p
@@ -299,6 +364,9 @@ def _make_kernel(qw: int, qh: int, S: int, wm: int, wv: int, ws: int,
 
         def quad_body(qx, carry):
             ms, prev_vn, err = carry
+            # one adaptive refill covers the quad's 4 samples
+            # (4 x up to 31 bits = 124 <= 5-limb capacity)
+            ms = _refill_to(ms, 124, msw, ws)
             q_inf = inf_cur[pl.ds(qx, 1)][0]
             u_q = u_row[pl.ds(qx, 1)][0]
             gamma = q_inf & _u32(0xF0)
@@ -320,14 +388,12 @@ def _make_kernel(qw: int, qh: int, S: int, wm: int, wv: int, ws: int,
                 sig = ((q_inf >> _u32(4 + bit)) & _u32(1)) != 0
                 if col == 1:
                     sig = sig & two_cols
-                ms = _refill(*ms, msw, ws)
                 m_n = jnp.where(
                     sig, (U_q - ((q_inf >> _u32(12 + bit)) & _u32(1)))
                     .astype(jnp.int32), 0)
                 m_n = jnp.clip(m_n, 0, 31)
-                ms_val = ms[0]
-                lo, hi, nb = _advance(ms[0], ms[1], ms[2], m_n)
-                ms = (lo, hi, nb, ms[3])
+                ms_val = _peek(ms)
+                ms = _adv(ms, m_n)
                 m_nu = m_n.astype(_U32)
                 v_n = ms_val & ((_u32(1) << m_nu) - _u32(1))
                 v_n = v_n | (((q_inf >> _u32(8 + bit)) & _u32(1))
@@ -351,12 +417,11 @@ def _make_kernel(qw: int, qh: int, S: int, wm: int, wv: int, ws: int,
         ms, prev_vn, err = lax.fori_loop(0, qw, quad_body,
                                          (ms, prev_vn, err))
         err_out[:] = err
-        ms_s[0], ms_s[1] = ms[0], ms[1]
-        misc_s[6], misc_s[7] = ms[2].astype(_U32), ms[3].astype(_U32)
+        st_reader(state, _MS0, ms)
 
         # rotate rows: inf_prev <- inf_cur, scr <- newv (+ tail), clear
         newv[pl.ds(qw, 1)] = prev_vn[None]
-        misc_s[9] = jnp.zeros((S, 128), _U32)
+        state[_PVN] = zero
         inf_prev[:] = inf_cur[:]
         inf_cur[:] = jnp.zeros_like(inf_cur)
         scr[:] = newv[:]
@@ -390,29 +455,26 @@ def _run_pallas(melw, vlcw, msw, p, qhl, dims, nlanes,
     def tr(w):
         return w.reshape(S, 128, w.shape[1]).transpose(2, 0, 1)
 
+    qw2 = ((qw + 1) // 2) * 2
     grid = (qh,)
-    const = lambda r: (0, 0, 0)
+    const3 = lambda r: (0, 0, 0)
+    const2 = lambda r: (0, 0)
     dec, err = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((wm, S, 128), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((wv, S, 128), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ws, S, 128), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, 128), lambda r: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, 128), lambda r: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, 128), lambda r: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((6, 128), lambda r: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wm, S, 128), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wv, S, 128), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ws, S, 128), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 128), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 128), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 128), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, 128), const2, memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, qw * 4, S, 128), lambda r: (r, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, 128), lambda r: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 128), const2, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((qh, qw * 4, S, 128), jnp.uint32),
@@ -420,18 +482,12 @@ def _run_pallas(melw, vlcw, msw, p, qhl, dims, nlanes,
         ],
         interpret=interpret,
         scratch_shapes=[
-            pltpu.VMEM((2, S, 128), jnp.uint32),   # mel lo/hi
-            pltpu.VMEM((2, S, 128), jnp.uint32),   # vlc lo/hi
-            pltpu.VMEM((2, S, 128), jnp.uint32),   # ms lo/hi
-            pltpu.VMEM((10, S, 128), jnp.uint32),  # misc state
-            pltpu.VMEM((((qw + 1) // 2) * 2 + 3, S, 128),
-                       jnp.uint32),                # inf_prev (qw2+3)
-            pltpu.VMEM((((qw + 1) // 2) * 2 + 3, S, 128),
-                       jnp.uint32),                # inf_cur
-            pltpu.VMEM((((qw + 1) // 2) * 2, S, 128),
-                       jnp.uint32),                # u_row
-            pltpu.VMEM((qw + 2, S, 128), jnp.uint32),  # scr
-            pltpu.VMEM((qw + 2, S, 128), jnp.uint32),  # newv
+            pltpu.VMEM((24, S, 128), jnp.uint32),      # reader state
+            pltpu.VMEM((qw2 + 3, S, 128), jnp.uint32),  # inf_prev
+            pltpu.VMEM((qw2 + 3, S, 128), jnp.uint32),  # inf_cur
+            pltpu.VMEM((qw2, S, 128), jnp.uint32),      # u_row
+            pltpu.VMEM((qw + 2, S, 128), jnp.uint32),   # scr
+            pltpu.VMEM((qw + 2, S, 128), jnp.uint32),   # newv
         ],
     )(tr(melw), tr(vlcw), tr(msw),
       p.reshape(S, 128), qhl.reshape(S, 128), vlct, uvlct)

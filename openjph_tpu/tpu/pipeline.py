@@ -396,6 +396,53 @@ def _pack_burst(frames_groups: List[List[dict]]):
     return words, meta.reshape(-1)
 
 
+def _pack_burst_fast(pairs):
+    """Native fast path of _pack_burst: per-lane stream words are
+    unstuffed by C++ directly at their final dense-buffer positions
+    (no padded [N, W] intermediates), threaded over lanes."""
+    from .. import native
+    datas: list = []
+    lc, sc, pp, qq, caps = [], [], [], [], []
+    for dec, plan in pairs:
+        d, l, scp, ps, qh = dec._lane_info(plan)
+        datas += d
+        lc.append(l)
+        sc.append(scp)
+        pp.append(ps)
+        qq.append(qh)
+        caps.append(np.concatenate(
+            [np.repeat(np.asarray(g.words, np.int64)[None, :],
+                       g.n_pad, axis=0) for g in plan.groups]))
+    lcups = np.concatenate(lc)
+    scups = np.concatenate(sc)
+    p = np.concatenate(pp)
+    qhl = np.concatenate(qq)
+    caps = np.concatenate(caps)  # [lanes, 3] word caps (wm, wv, ws)
+    lm = np.minimum(caps[:, 0], (scups - 1) * 8 // 32 + 3)
+    lv = np.minimum(caps[:, 1], ((scups - 2) * 8 + 4) // 32 + 3)
+    ls = np.minimum(caps[:, 2], (lcups - scups) * 8 // 32 + 3)
+    tot = lm + lv + ls
+    base = np.zeros_like(tot)
+    np.cumsum(tot[:-1], out=base[1:])
+    meta = np.stack([base, lm, base + lm, lv, base + lm + lv, ls,
+                     p.astype(np.int64), qhl.astype(np.int64)],
+                    axis=1).astype(np.int32)
+    blob = b''.join(datas)
+    offsets = np.zeros(len(datas) + 1, np.int64)
+    np.cumsum([len(d) for d in datas], out=offsets[1:])
+    dense = np.empty(_bucket_words(int(tot.sum())), np.uint32)
+    native.prep_cleanup_dense(blob, offsets, lcups, scups, meta, dense)
+    return dense, meta.reshape(-1)
+
+
+def _pack(pairs):
+    """Pack a burst of (decoder, plan) pairs into (words, meta)."""
+    from .. import native
+    if native.have_native():
+        return _pack_burst_fast(pairs)
+    return _pack_burst([d._group_arrays(p) for d, p in pairs])
+
+
 class TpuDecoder(Decoder):
     """Decoder whose Tier-1 + reconstruction run on the accelerator."""
 
@@ -451,13 +498,41 @@ class TpuDecoder(Decoder):
             })
         return out
 
+    def _lane_info(self, plan: _Plan):
+        """Per-lane raw segment info in meta order (groups in gid
+        order, members then padding), for the native dense prep."""
+        datas, lcups, scups, ps, qhls = [], [], [], [], []
+        for g in plan.groups:
+            for m in g.members:
+                if m[0] is None:
+                    datas.append(self._DUMMY)
+                    lcups.append(2)
+                    scups.append(2)
+                    ps.append(30)
+                else:
+                    cb = m[0]
+                    datas.append(bytes(cb.data))
+                    lcups.append(cb.pass_length[0])
+                    scups.append(m[1])
+                    ps.append(30 - cb.missing_msbs)
+            qhls += g.qh_lims
+            pad = g.n_pad - len(g.members)
+            datas += [self._DUMMY] * pad
+            lcups += [2] * pad
+            scups += [2] * pad
+            ps += [30] * pad
+            qhls += [0] * pad
+        return (datas, np.asarray(lcups, np.int64),
+                np.asarray(scups, np.int64),
+                np.asarray(ps, np.int32), np.asarray(qhls, np.int32))
+
 
     def _decode_fast(self, plan: _Plan) -> List[np.ndarray]:
         runner = _RUNNERS.get((plan.key, 1))
         if runner is None:
             runner = _make_runner(plan, 1)
             _RUNNERS[(plan.key, 1)] = runner
-        words, meta = _pack_burst([self._group_arrays(plan)])
+        words, meta = _pack([(self, plan)])
         errs, outs = runner(words, meta)
         if np.asarray(errs).any():
             raise ValueError('U_q exceeds missing_msbs + 2')
@@ -650,8 +725,7 @@ class VideoDecoder:
         if runner is None:
             runner = _make_runner(plans[0], F)
             _RUNNERS[(key, F)] = runner
-        words, meta = _pack_burst(
-            [d._group_arrays(p) for d, p in zip(decs, plans)])
+        words, meta = _pack(list(zip(decs, plans)))
         errs, outs = runner(words, meta)  # async dispatch
         self._inflight.append((decs, errs, outs))
 
@@ -712,8 +786,7 @@ def decode_tpu_batch(streams: List[bytes], resilient: bool = False,
             if runner is None:
                 runner = _make_runner(plan, F)
                 _RUNNERS[(key, F)] = runner
-            words, meta = _pack_burst(
-                [d._group_arrays(pl) for (_, d, pl) in chunk])
+            words, meta = _pack([(d, pl) for (_, d, pl) in chunk])
             errs, outs = runner(words, meta)
             if np.asarray(errs).any():
                 raise ValueError('U_q exceeds missing_msbs + 2')
