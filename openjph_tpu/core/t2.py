@@ -208,6 +208,18 @@ def encode_precinct(res: ResolutionGeom, prec_idx: int,
 # Packet header parsing (precinct::parse, ojph_precinct.cpp:328-573)
 # ---------------------------------------------------------------------------
 
+_T2_ERRORS = {
+    1: (EOFError, 'packet header truncated'),
+    3: (ValueError, 'wrong SOP length'),
+    4: (ValueError, 'expected EPH marker'),
+    5: (ValueError, 'missing msbs larger than Kmax; likely bitstream '
+        'corruption'),
+    6: (ValueError, 'HT cleanup segment < 2 bytes'),
+    7: (ValueError, 'HT cleanup segment >= 65535 bytes'),
+    8: (ValueError, 'HT refinement segment >= 2047 bytes'),
+}
+
+
 def parse_precinct(res: ResolutionGeom, prec_idx: int,
                    coded: List[List[Optional[CodedBlock]]],
                    buf, pos: int, data_left: int,
@@ -215,7 +227,63 @@ def parse_precinct(res: ResolutionGeom, prec_idx: int,
                    skip_data: bool = False) -> Tuple[int, int]:
     """Parse one packet, filling CodedBlock records in ``coded``.
 
-    Returns (new_pos, new_data_left)."""
+    Returns (new_pos, new_data_left).  Dispatches to the native C++
+    parser (the hot host loop of decode) with this Python body as the
+    reference fallback."""
+    from .. import native
+    if native.have_native():
+        return _parse_precinct_native(res, prec_idx, coded, buf, pos,
+                                      data_left, may_use_sop, uses_eph,
+                                      skip_data)
+    return _parse_precinct_py(res, prec_idx, coded, buf, pos,
+                              data_left, may_use_sop, uses_eph,
+                              skip_data)
+
+
+def _parse_precinct_native(res, prec_idx, coded, buf, pos, data_left,
+                           may_use_sop, uses_eph, skip_data):
+    from .. import native
+    prec = res.precincts[prec_idx]
+    bands = np.zeros((4, 7), np.int32)
+    maxcb = 0
+    for s in range(4):
+        sb = res.bands[s]
+        if sb is None or sb.empty:
+            continue
+        bi = prec.bands[s]
+        if bi.num_x == 0 or bi.num_y == 0:
+            continue
+        bands[s] = (1, bi.num_x, bi.num_y, bi.org_x, bi.org_y,
+                    sb.num_cb_x, sb.kmax)
+        maxcb += bi.num_x * bi.num_y
+    out = np.empty((max(maxcb, 1), 8), np.int32)
+    opos = np.empty(max(maxcb, 1), np.int64)
+    st = np.zeros(3, np.int64)
+    data = buf if isinstance(buf, np.ndarray)         else np.frombuffer(buf, np.uint8)
+    rc = native.t2_parse_packet(data, pos, data_left, may_use_sop,
+                                uses_eph, skip_data, bands, out, opos,
+                                st)
+    if rc:
+        exc, msg = _T2_ERRORS.get(rc, (ValueError, 'malformed packet'))
+        raise exc(msg)
+    for i in range(int(st[2])):
+        b, idx, mm, npss, l0, l1, _inc, nb = (int(v) for v in out[i])
+        cb = CodedBlock()
+        cb.missing_msbs = mm
+        cb.num_passes = npss
+        cb.pass_length = [l0, l1]
+        if nb:
+            o = int(opos[i])
+            cb.data = bytes(buf[o:o + nb])
+        coded[b][idx] = cb
+    return int(st[0]), int(st[1])
+
+
+def _parse_precinct_py(res: ResolutionGeom, prec_idx: int,
+                       coded: List[List[Optional[CodedBlock]]],
+                       buf, pos: int, data_left: int,
+                       may_use_sop: bool, uses_eph: bool,
+                       skip_data: bool = False) -> Tuple[int, int]:
     assert data_left > 0
     br = BitReader(buf, pos, data_left)
     if may_use_sop:

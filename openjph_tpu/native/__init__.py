@@ -59,6 +59,12 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64]
+        lib.t2_parse_packet.restype = ctypes.c_int64
+        lib.t2_parse_packet.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
         lib.pack_cleanup_segments.restype = None
         lib.pack_cleanup_segments.argtypes = [
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -109,6 +115,20 @@ def prep_cleanup_streams(datas, lcups, scups, min_words=None):
         mel.ctypes.data, mel_w, vlc.ctypes.data, vlc_w,
         ms.ctypes.data, ms_w)
     return {'mel': mel, 'vlc': vlc, 'ms': ms}
+
+
+def t2_parse_packet(data: np.ndarray, pos: int, data_left: int,
+                    may_use_sop: bool, uses_eph: bool, skip_data: bool,
+                    bands, out_cb, out_pos, st) -> int:
+    """Parse one packet header + body ranges (see ojtpu_native.cpp)."""
+    lib = _load()
+    assert lib is not None
+    return int(lib.t2_parse_packet(
+        data.ctypes.data, pos, data_left,
+        1 if may_use_sop else 0, 1 if uses_eph else 0,
+        1 if skip_data else 0,
+        bands.ctypes.data, out_cb.ctypes.data, out_pos.ctypes.data,
+        st.ctypes.data))
 
 
 def prep_cleanup_dense(blob: bytes, offsets, lcups, scups, meta,

@@ -200,6 +200,319 @@ void prep_cleanup_dense(const uint8_t* data, const int64_t* offsets,
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
+// Tier-2 packet-header parser (decode side).  Port of
+// core/t2.py:parse_precinct (itself mirroring precinct::parse,
+// ojph_precinct.cpp:328-573): tag-tree inclusion + missing-MSBs,
+// pass counts, Lblock/lengths, body byte ranges.  This is the hot
+// host-side loop of decode (pure bit twiddling), hence C++.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct HdrReader {  // core/bitio.py BitReader semantics
+  const uint8_t* buf;
+  int64_t pos, left;
+  uint32_t tmp = 0;
+  int avail = 0;
+  bool unstuff = false;
+  bool eof = false;
+
+  HdrReader(const uint8_t* b, int64_t p, int64_t l)
+      : buf(b), pos(p), left(l) {}
+
+  bool readbyte() {
+    if (left > 0) {
+      uint8_t t = buf[pos++];
+      tmp = t;
+      avail = 8 - (unstuff ? 1 : 0);
+      unstuff = (t == 0xFF);
+      --left;
+      return true;
+    }
+    tmp = 0;
+    avail = 8 - (unstuff ? 1 : 0);
+    unstuff = false;
+    return false;
+  }
+  int bit() {
+    if (avail == 0 && !readbyte()) {
+      eof = true;
+      return 0;
+    }
+    --avail;
+    return (tmp >> avail) & 1;
+  }
+  uint32_t bits(int n) {
+    uint32_t v = 0;
+    while (n) {
+      if (avail == 0 && !readbyte()) {
+        eof = true;
+        return 0;
+      }
+      int tx = avail < n ? avail : n;
+      v <<= tx;
+      avail -= tx;
+      n -= tx;
+      v |= (tmp >> avail) & ((1u << tx) - 1u);
+    }
+    return v;
+  }
+  // returns 0 ok, 2 on bad EPH
+  int terminate(bool uses_eph) {
+    if (unstuff) readbyte();
+    tmp = 0;
+    avail = 0;
+    if (uses_eph && left >= 2) {
+      uint8_t m0 = buf[pos], m1 = buf[pos + 1];
+      pos += 2;
+      left -= 2;
+      if (m0 != 0xFF || m1 != 0x92) return 2;
+    }
+    return 0;
+  }
+  int skip_sop() {  // 0 ok, 1 eof, 2 bad length
+    if (left >= 2 && buf[pos] == 0xFF && buf[pos + 1] == 0x91) {
+      pos += 2;
+      left -= 2;
+      if (left >= 4) {
+        int ln = (buf[pos] << 8) | buf[pos + 1];
+        if (ln != 4) return 2;
+        pos += ln;      // Lsop(2) + Nsop(2)
+        left -= ln;
+      } else {
+        return 1;
+      }
+    }
+    return 0;
+  }
+};
+
+inline int log2ceil(int x) {
+  if (x <= 1) return 0;
+  int n = 0;
+  for (int v = x - 1; v; v >>= 1) ++n;
+  return n;
+}
+
+// small tag tree (values + sent flags) for parsing
+struct PTagTree {
+  int w, h, num_levels;
+  std::vector<std::vector<int32_t>> val, flg;
+  std::vector<int> lw, lh;
+
+  PTagTree(int w_, int h_) : w(w_), h(h_) {
+    num_levels = 1 + (log2ceil(w) > log2ceil(h) ? log2ceil(w)
+                                                : log2ceil(h));
+    int cw = w, ch = h;
+    for (int l = 0; l < num_levels; ++l) {
+      val.emplace_back(static_cast<size_t>(cw) * ch, 0);
+      flg.emplace_back(static_cast<size_t>(cw) * ch, 0);
+      lw.push_back(cw);
+      lh.push_back(ch);
+      cw = (cw + 1) / 2;
+      ch = (ch + 1) / 2;
+    }
+    val.emplace_back(1, 0);  // sentinel root
+    flg.emplace_back(1, 0);
+    lw.push_back(1);
+    lh.push_back(1);
+  }
+  int32_t& at(std::vector<std::vector<int32_t>>& a, int x, int y,
+              int lev) {
+    if (lev >= num_levels) return a[num_levels][0];
+    return a[lev][static_cast<size_t>(y >> lev) * lw[lev] + (x >> lev)];
+  }
+  int32_t get(int x, int y, int lev) { return at(val, x, y, lev); }
+};
+
+}  // namespace
+
+extern "C" {
+
+// bands: int32 [4*7]: per band (present, num_x, num_y, org_x, org_y,
+// num_cb_x, kmax).  out_cb: int32 [max_cb*8]: (band, cb_index, mmsbs,
+// num_passes, len0, len1, data_pos_lo32<<nothing... data handled via
+// st) — actually (band, cb_index, mmsbs, num_passes, len0, len1,
+// data_pos rel to buf as int32 pair) is too narrow for >2GB streams,
+// so data positions are int64 in out_pos[max_cb].
+// st (int64 [3]) out: new_pos, new_left, n_out.
+// Returns 0 ok; 1 truncated header (EOFError); 2.. value errors.
+int64_t t2_parse_packet(const uint8_t* buf, int64_t pos,
+                        int64_t bytes_left, int32_t may_use_sop,
+                        int32_t uses_eph, int32_t skip_data,
+                        const int32_t* bands, int32_t* out_cb,
+                        int64_t* out_pos, int64_t* st) {
+  HdrReader br(buf, pos, bytes_left);
+  if (may_use_sop) {
+    int rc = br.skip_sop();
+    if (rc) return rc == 1 ? 1 : 3;
+  }
+  bool empty_packet = true;
+  int64_t n_out = 0;
+
+  for (int s = 0; s < 4; ++s) {
+    const int32_t* B = bands + s * 7;
+    if (!B[0]) continue;
+    const int num_x = B[1], num_y = B[2], org_x = B[3], org_y = B[4];
+    const int num_cb_x = B[5], kmax = B[6];
+    if (num_x == 0 || num_y == 0) continue;
+
+    if (empty_packet) {
+      if (br.bit() == 0) {
+        if (br.eof) return 1;
+        int rc = br.terminate(uses_eph);
+        if (rc) return 4;
+        st[0] = br.pos;
+        st[1] = br.left;
+        st[2] = n_out;
+        return 0;
+      }
+      if (br.eof) return 1;
+      empty_packet = false;
+    }
+
+    PTagTree inc(num_x, num_y), mmsb(num_x, num_y);
+    const int nl = inc.num_levels;
+
+    for (int y = 0; y < num_y; ++y) {
+      for (int x = 0; x < num_x; ++x) {
+        int32_t* rec = out_cb + n_out * 8;
+        rec[0] = s;
+        rec[1] = (org_y + y) * num_cb_x + org_x + x;
+        rec[2] = 0;
+        rec[3] = 0;  // num_passes 0 => not included
+        rec[4] = 0;
+        rec[5] = 0;
+        rec[6] = 0;
+        rec[7] = 0;
+        out_pos[n_out] = 0;
+        ++n_out;
+
+        bool empty_cb = false;
+        for (int cl = nl; cl >= 1; --cl) {
+          int cur = cl - 1;
+          if (inc.get(x, y, cur) == 1) {
+            empty_cb = true;
+            break;
+          }
+          int32_t& fl = inc.at(inc.flg, x, y, cur);
+          if (fl == 0) {
+            int b = br.bit();
+            if (br.eof) return 1;
+            empty_cb = (b == 0);
+            inc.at(inc.val, x, y, cur) = 1 - b;
+            fl = 1;
+          }
+          if (empty_cb) break;
+        }
+        if (empty_cb) continue;
+
+        // missing msbs
+        int32_t mmsbs = 0;
+        for (int levp1 = nl; levp1 >= 1; --levp1) {
+          int cur = levp1 - 1;
+          mmsbs = mmsb.get(x, y, levp1);
+          int32_t& fl = mmsb.at(mmsb.flg, x, y, cur);
+          if (fl == 0) {
+            while (br.bit() == 0) {
+              if (br.eof) return 1;
+              ++mmsbs;
+            }
+            if (br.eof) return 1;
+            mmsb.at(mmsb.val, x, y, cur) = mmsbs;
+            fl = 1;
+          }
+        }
+        if (mmsbs > kmax) return 5;  // likely corruption
+        rec[2] = mmsbs;
+
+        // number of passes
+        int num_passes = 1;
+        if (br.bit()) {
+          num_passes = 2;
+          if (br.bit()) {
+            uint32_t t = br.bits(2);
+            num_passes = 3 + static_cast<int>(t);
+            if (t == 3) {
+              t = br.bits(5);
+              num_passes = 6 + static_cast<int>(t);
+              if (t == 31) num_passes = 37 + static_cast<int>(br.bits(7));
+            }
+          }
+        }
+        if (br.eof) return 1;
+
+        // placeholder passes (ojph_precinct.cpp:466-479)
+        int phld = (num_passes - 1) / 3;
+        rec[2] += phld;
+        int np = num_passes - phld * 3;
+        rec[3] = np;
+
+        int lblock = 3;
+        while (br.bit()) {
+          if (br.eof) return 1;
+          ++lblock;
+        }
+        if (br.eof) return 1;
+        int extra = 0;
+        for (int v = phld + 1; v > 1; v >>= 1) ++extra;
+        uint32_t ln = br.bits(lblock + extra);
+        if (br.eof) return 1;
+        if (ln < 2) return 6;       // HT cleanup segment < 2 bytes
+        if (ln >= 65535) return 7;  // HT cleanup segment >= 65535
+        rec[4] = static_cast<int32_t>(ln);
+        if (np > 1) {
+          uint32_t l2 = br.bits(lblock + (np > 2 ? 1 : 0));
+          if (br.eof) return 1;
+          if (l2 >= 2047) return 8;  // HT refinement >= 2047
+          rec[5] = static_cast<int32_t>(l2);
+        }
+        rec[6] = 1;  // included
+      }
+    }
+  }
+
+  if (empty_packet) {
+    br.bit();
+    if (br.eof) return 1;
+  }
+  {
+    int rc = br.terminate(uses_eph);
+    if (rc) return 4;
+  }
+
+  // body byte ranges (t2.py:parse_precinct tail)
+  int64_t p = br.pos, left = br.left;
+  for (int64_t i = 0; i < n_out; ++i) {
+    int32_t* rec = out_cb + i * 8;
+    if (!rec[6]) continue;
+    int64_t nbytes = static_cast<int64_t>(rec[4]) + rec[5];
+    if (left && nbytes) {
+      int64_t avail = nbytes < left ? nbytes : left;
+      if (skip_data) {
+        rec[4] = rec[5] = 0;
+      } else if (avail < nbytes) {  // truncated -> broken block
+        rec[4] = rec[5] = 0;
+        rec[7] = 0;
+      } else {
+        out_pos[i] = p;
+        rec[7] = static_cast<int32_t>(nbytes);
+      }
+      p += avail;
+      left -= avail;
+    } else if (left == 0) {
+      rec[4] = rec[5] = 0;
+    }
+  }
+  st[0] = p;
+  st[1] = left;
+  st[2] = n_out;
+  return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
 // Cleanup-segment byte packers (encode side).  Port of the reference's
 // MEL / backward-VLC / MagSgn emitters (ojph_block_encoder.cpp:273-533)
 // fed from device-computed per-quad-pair records.
