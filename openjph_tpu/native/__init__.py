@@ -65,6 +65,11 @@ def _load():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p]
+        lib.pack_from_dense.restype = None
+        lib.pack_from_dense.argtypes = [
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64]
         lib.pack_cleanup_segments.restype = None
         lib.pack_cleanup_segments.argtypes = [
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -149,6 +154,28 @@ def prep_cleanup_dense(blob: bytes, offsets, lcups, scups, meta,
         data.ctypes.data, offsets.ctypes.data, lcups.ctypes.data,
         scups.ctypes.data, n, meta.ctypes.data, dense.ctypes.data,
         nthreads)
+
+
+def pack_from_dense(dense: np.ndarray, meta: np.ndarray,
+                    out_stride: int, nthreads: int = 0):
+    """Assemble cleanup segments from device-packed dense bit streams.
+
+    dense: uint32 buffer; meta int64 [n, 6] rows of (mel_off,
+    mel_bits, vlc_off, vlc_bits, ms_off, ms_bits).  Returns
+    (out [n, out_stride] uint8, lens [n] int64; 0 = overflow)."""
+    lib = _load()
+    assert lib is not None
+    n = meta.shape[0]
+    dense = np.ascontiguousarray(dense, np.uint32)
+    meta = np.ascontiguousarray(meta, np.int64)
+    out = np.zeros((n, out_stride), np.uint8)
+    lens = np.zeros(n, np.int64)
+    if nthreads <= 0:
+        nthreads = min(8, os.cpu_count() or 1)
+    lib.pack_from_dense(n, dense.ctypes.data, meta.ctypes.data,
+                        out.ctypes.data, out_stride, lens.ctypes.data,
+                        nthreads)
+    return out, lens
 
 
 def pack_cleanup_segments(mel_e, vlc_c, vlc_l, ms_v, ms_l, pairs_real,

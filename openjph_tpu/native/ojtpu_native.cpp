@@ -47,6 +47,7 @@ inline void fill_ones_from(uint32_t* row, int64_t pos, int64_t nwords) {
 
 extern "C" {
 
+
 // data: concatenated segment bytes; offsets[i] .. offsets[i]+lcups[i]
 // delimit block i.  Output arrays are zero-initialized by the caller
 // and have mel_words/vlc_words/ms_words uint32 per row (each including
@@ -709,6 +710,112 @@ void pack_cleanup_segments(
     obuf[total - 2] =
         static_cast<uint8_t>((obuf[total - 2] & 0xF0) | (num_bytes & 0xF));
     out_lens[i] = total;
+  }
+}
+
+}  // extern "C"
+
+
+namespace {
+
+inline int get_dense_bit(const uint32_t* w, int64_t t) {
+  return (w[t >> 5] >> (t & 31)) & 1;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Assemble cleanup segments from device-packed dense bit streams
+// (block_encode_pallas.py).  dense: shared u32 buffer; per lane i,
+// meta[i*6..]: mel_off, mel_bits, vlc_off, vlc_bits, ms_off, ms_bits
+// (word offsets into dense; bit counts).  The kernel already ran the
+// MEL state machine (including the trailing run flush), so this side
+// only performs byte stuffing, the backward VLC byte order, MEL/VLC
+// fuse termination and the scup word (ojph_block_encoder.cpp:273-441).
+void pack_from_dense(int64_t n, const uint32_t* dense,
+                     const int64_t* meta, uint8_t* out,
+                     int64_t out_stride, int64_t* out_lens,
+                     int64_t nthreads) {
+  if (nthreads < 1) nthreads = 1;
+  auto work = [&](int64_t t0) {
+    for (int64_t i = t0; i < n; i += nthreads) {
+      const int64_t* m = meta + i * 6;
+      const uint32_t* melw = dense + m[0];
+      const int64_t melbits = m[1];
+      const uint32_t* vlcw = dense + m[2];
+      const int64_t vlcbits = m[3];
+      const uint32_t* msw = dense + m[4];
+      const int64_t msbits = m[5];
+      uint8_t* obuf = out + i * out_stride;
+
+      MelEnc mel;  // only emit_bit/stuffing used; run stays 0
+      for (int64_t t = 0; t < melbits; ++t)
+        mel.emit_bit(get_dense_bit(melw, t));
+
+      VlcEnc vlc;
+      {
+        int64_t rem = vlcbits;
+        int64_t wi = 0;
+        while (rem > 0) {
+          int take = rem < 32 ? static_cast<int>(rem) : 32;
+          vlc.encode(vlcw[wi++], take);
+          rem -= take;
+        }
+      }
+      MsEnc ms(obuf);
+      {
+        int64_t rem = msbits;
+        int64_t wi = 0;
+        while (rem > 0) {
+          int take = rem < 32 ? static_cast<int>(rem) : 32;
+          ms.encode(msw[wi++], take);
+          rem -= take;
+        }
+      }
+
+      // terminate (ojph_block_encoder.cpp:412-441); the kernel
+      // already flushed any pending MEL run
+      const uint32_t mel_tmp = (mel.tmp << mel.remaining_bits) & 0xFF;
+      const uint32_t mel_mask = (0xFF << mel.remaining_bits) & 0xFF;
+      const uint32_t vlc_mask =
+          vlc.used_bits ? (0xFFu >> (8 - vlc.used_bits)) : 0;
+      int mel_len = mel.len;
+      int vlc_len = vlc.len;
+      if ((mel_mask | vlc_mask) != 0) {
+        const uint32_t fuse = mel_tmp | vlc.tmp;
+        if (((((fuse ^ mel_tmp) & mel_mask) |
+              ((fuse ^ vlc.tmp) & vlc_mask)) == 0) &&
+            fuse != 0xFF && vlc.len > 0) {
+          mel.buf[mel_len++] = static_cast<uint8_t>(fuse);
+        } else {
+          mel.buf[mel_len++] = static_cast<uint8_t>(mel_tmp);
+          vlc.buf[vlc_len++] = static_cast<uint8_t>(vlc.tmp);
+        }
+      }
+      ms.terminate();
+      const int64_t num_bytes = mel_len + vlc_len + 1;
+      const int64_t total = ms.len + num_bytes;
+      if (total + 2 > out_stride || num_bytes > 4079) {
+        out_lens[i] = 0;
+        continue;
+      }
+      uint8_t* pos = obuf + ms.len;
+      for (int j = 0; j < mel_len; ++j) *pos++ = mel.buf[j];
+      for (int j = vlc_len - 1; j >= 0; --j) *pos++ = vlc.buf[j];
+      *pos = 0xFF;
+      obuf[total - 1] = static_cast<uint8_t>((num_bytes >> 4) & 0xFF);
+      obuf[total - 2] = static_cast<uint8_t>((obuf[total - 2] & 0xF0)
+                                             | (num_bytes & 0xF));
+      out_lens[i] = total;
+    }
+  };
+  if (nthreads == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> ts;
+    for (int64_t t = 0; t < nthreads; ++t) ts.emplace_back(work, t);
+    for (auto& th : ts) th.join();
   }
 }
 

@@ -1,0 +1,568 @@
+"""Pallas TPU kernel: batched HT cleanup-pass block ENCODER with
+on-device bit packing.
+
+Mirror of block_decode_pallas.py.  The lax.scan encoder
+(block_encode.py) emits fixed-width per-quad-pair records that the
+host packs into segments — ~60 bytes of record per pair, which makes
+the device->host link the encode bottleneck.  This kernel runs the
+same per-pair math (significance/EMB exponents, VLC/UVLC codeword
+lookup, MEL run-length coding) AND packs the three bitstreams into
+dense LSB-first u32 word planes on device, so only ~coded-size bytes
+travel to the host, where a C++ stuffer (pack_from_dense) applies
+byte stuffing, the backward VLC byte order, MEL/VLC fuse termination
+and the scup word (ojph_block_encoder.cpp:273-533, 412-441).
+
+Layout and cost model follow the decoder kernel: lanes on (S, 128)
+vregs, grid over quad rows, writer state in VMEM scratch.  A bit
+write is buffered in a 160-bit five-limb window per stream; a word is
+scattered to the output plane (cost ~ W vregs) only when some lane's
+window runs high, so scatter work tracks actual emission.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..coding.tables import get_tables
+
+_U32 = jnp.uint32
+
+
+def _u32(x):
+    return jnp.asarray(x, _U32)
+
+
+def _gather128(chunk, lo):
+    dn = lax.GatherDimensionNumbers(
+        offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
+        operand_batching_dims=(0,), start_indices_batching_dims=(0,))
+    return lax.gather(chunk, lo[..., None], dn, slice_sizes=(1, 1),
+                      mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+
+def _tbl_lookup(tbl_ref, idx, nchunks: int):
+    s = idx.shape[0]
+    hi = (idx >> 7).astype(jnp.int32)
+    lo = (idx & 127).astype(jnp.int32)
+    out = jnp.zeros(idx.shape, _U32)
+    for c in range(nchunks):
+        chunk = jnp.broadcast_to(tbl_ref[pl.ds(c, 1), :], (s, 128))
+        g = _gather128(chunk, lo)
+        out = jnp.where(hi == c, g, out)
+    return out
+
+
+def _mel_exp(k):
+    return jnp.where(k >= 11, k - 7, jnp.minimum(k // 3, 3))
+
+
+# ---------------------------------------------------------------------------
+# Five-limb bit writer.  State: (w0..w4, nb, wi, ovf); bits appended
+# LSB-first at position nb; completed words scatter to the output
+# plane at word index wi per lane.
+# ---------------------------------------------------------------------------
+
+_NLIMB = 5
+
+
+def _writer_zero(S):
+    z = jnp.zeros((S, 128), _U32)
+    zi = jnp.zeros((S, 128), jnp.int32)
+    return (z, z, z, z, z, zi, zi, jnp.zeros((S, 128), _U32))
+
+
+def _append(st, v, ln):
+    """Append ln (per-lane, 0..31) bits of v at position nb."""
+    w = list(st[:_NLIMB])
+    nb, wi, ovf = st[_NLIMB], st[_NLIMB + 1], st[_NLIMB + 2]
+    ln = ln.astype(jnp.int32) if hasattr(ln, 'astype') \
+        else jnp.full_like(nb, ln)
+    v = v & ((_u32(1) << jnp.clip(ln, 0, 31).astype(_U32)) - _u32(1))
+    limb = nb >> 5
+    off = (nb & 31).astype(_U32)
+    lo_ins = v << off
+    hi_ins = jnp.where(off == 0, _u32(0),
+                       v >> (_u32(32) - jnp.clip(nb & 31, 1, 31)
+                             .astype(_U32)))
+    out = []
+    for k in range(_NLIMB):
+        x = w[k]
+        x = jnp.where(limb == k, x | lo_ins, x)
+        if k > 0:
+            x = jnp.where(limb == k - 1, x | hi_ins, x)
+        out.append(x)
+    return (*out, nb + ln, wi, ovf)
+
+
+def _flush_one(st, out_ref, nwords: int):
+    """Scatter the completed low word of every lane with nb >= 32."""
+    w = list(st[:_NLIMB])
+    nb, wi, ovf = st[_NLIMB], st[_NLIMB + 1], st[_NLIMB + 2]
+    doit = nb >= 32
+    ovf = ovf | jnp.where(doit & (wi >= nwords), _u32(1), _u32(0))
+    wic = jnp.minimum(wi, nwords - 1)
+    iota = lax.broadcasted_iota(jnp.int32, (nwords,) + nb.shape, 0)
+    m = (iota == wic[None]) & doit[None]
+    out_ref[:] = jnp.where(m, w[0][None], out_ref[:])
+    nw = [jnp.where(doit, w[k + 1] if k + 1 < _NLIMB
+                    else jnp.zeros_like(w[k]), w[k])
+          for k in range(_NLIMB)]
+    return (*nw, jnp.where(doit, nb - 32, nb),
+            jnp.where(doit, wi + 1, wi), ovf)
+
+
+def _maybe_flush(st, out_ref, nwords: int):
+    """One conditional flush pass; skipped when every lane is low."""
+    def yes(s):
+        return _flush_one(s, out_ref, nwords)
+
+    return lax.cond(jnp.any(st[_NLIMB] >= 96), yes, lambda s: s, st)
+
+
+def _drain(st, out_ref, nwords: int):
+    """Flush everything including a partial last word (end of block)."""
+    for _ in range(_NLIMB):
+        def yes(s):
+            # promote partial words to full so _flush_one takes them
+            nb, wi, ovf = s[_NLIMB], s[_NLIMB + 1], s[_NLIMB + 2]
+            nb2 = jnp.where((nb > 0) & (nb < 32), 32, nb)
+            s = (*s[:_NLIMB], nb2, wi, ovf)
+            return _flush_one(s, out_ref, nwords)
+
+        st = lax.cond(jnp.any(st[_NLIMB] > 0), yes, lambda s: s, st)
+    return st
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+# scratch rows in the (3*8 + 4, S, 128) u32 state buffer
+_MELW, _VLCW, _MSW = 0, 8, 16        # 8 rows each: w0..w4, nb, wi, ovf
+_MRUN, _MK, _CQ, _MAXE = 24, 25, 26, 27
+
+
+def _enc_tables_chunks():
+    t = get_tables()
+    vlc = np.concatenate([t['enc_vlc0'], t['enc_vlc1']]) \
+        .astype(np.uint32)                         # 4096
+    uv = t['enc_uvlc'].astype(np.uint32)           # [75, 6]
+    uvp = np.zeros((4, 128), np.uint32)
+    uvp[0, :75] = uv[:, 0]
+    uvp[1, :75] = uv[:, 1]
+    uvp[2, :75] = uv[:, 2]
+    uvp[3, :75] = uv[:, 3]
+    return vlc.reshape(32, 128), uvp
+
+
+def _make_kernel(qw: int, qh: int, S: int, wp: int,
+                 wm: int, wv: int, ws: int):
+    pairs = (qw + 1) >> 1
+
+    def ld_writer(state, base):
+        return tuple(
+            state[base + k] if k not in (5, 6)
+            else state[base + k].astype(jnp.int32)
+            for k in range(7)) + (state[base + 7],)
+
+    def st_writer(state, base, st):
+        for k in range(_NLIMB):
+            state[base + k] = st[k]
+        state[base + 5] = st[5].astype(_U32)
+        state[base + 6] = st[6].astype(_U32)
+        state[base + 7] = st[7]
+
+    def kernel(buf, p_ref, vlct, uvt,
+               melw, vlcw, msw, meta_out,
+               state, e_val, cx_val):
+        r = pl.program_id(0)
+        zero = jnp.zeros((S, 128), _U32)
+        zi = jnp.zeros((S, 128), jnp.int32)
+
+        @pl.when(r == 0)
+        def _init():
+            state[:] = jnp.zeros_like(state)
+            e_val[:] = jnp.zeros_like(e_val)
+            cx_val[:] = jnp.zeros_like(cx_val)
+            melw[:] = jnp.zeros_like(melw)
+            vlcw[:] = jnp.zeros_like(vlcw)
+            msw[:] = jnp.zeros_like(msw)
+            meta_out[:] = jnp.zeros_like(meta_out)
+
+        init = r == 0
+        mel = ld_writer(state, _MELW)
+        vlc = ld_writer(state, _VLCW)
+        ms = ld_writer(state, _MSW)
+        mrun = state[_MRUN].astype(jnp.int32)
+        mk = state[_MK].astype(jnp.int32)
+        c_q = jnp.where(init, zero, state[_CQ])
+        max_e = state[_MAXE].astype(jnp.int32)
+        p = p_ref[:].astype(_U32)
+
+        def mel_event(mask, bit, mel, mrun, mk):
+            """MEL run-length coder, one event (MelEnc::encode)."""
+            thresh = jnp.int32(1) << jnp.clip(_mel_exp(mk), 0, 7)
+            nz = mask & ~bit
+            run2 = jnp.where(nz, mrun + 1, mrun)
+            hit = nz & (run2 >= thresh)
+            # hit: emit '1'; bit: emit '0' + exp(mk) bits of run
+            # (MSB-first)
+            e = _mel_exp(mk)
+            isb = mask & bit
+            # reverse low e bits of run for LSB-first dense order
+            rev = jnp.zeros_like(mrun)
+            for i in range(5):
+                b = (mrun >> i) & 1
+                pos = e - 1 - i
+                rev = rev | jnp.where(pos >= 0,
+                                      b << jnp.clip(pos, 0, 31), 0)
+            # codeword: hit -> '1' (1 bit); isb -> '0' + e bits
+            cw = jnp.where(hit, _u32(1),
+                           jnp.where(isb, (rev << 1).astype(_U32),
+                                     _u32(0)))
+            ln = jnp.where(hit, 1, jnp.where(isb, 1 + e, 0))
+            mel = _append(mel, cw, ln)
+            mrun3 = jnp.where(hit | isb, 0, run2)
+            mk2 = jnp.where(hit, jnp.minimum(mk + 1, 12),
+                            jnp.where(isb, jnp.maximum(mk - 1, 0), mk))
+            return mel, mrun3, mk2
+
+        def uvlc_gather(idx):
+            i = jnp.clip(idx, 0, 74).astype(jnp.int32)
+            pre = _gather128(jnp.broadcast_to(uvt[pl.ds(0, 1), :],
+                                              (S, 128)), i)
+            pln = _gather128(jnp.broadcast_to(uvt[pl.ds(1, 1), :],
+                                              (S, 128)), i)
+            suf = _gather128(jnp.broadcast_to(uvt[pl.ds(2, 1), :],
+                                              (S, 128)), i)
+            sln = _gather128(jnp.broadcast_to(uvt[pl.ds(3, 1), :],
+                                              (S, 128)), i)
+            return pre, pln, suf, sln
+
+        def qsample(t):
+            val = ((t + t) >> p) & ~_u32(1)
+            sig = val != 0
+            v1 = val - _u32(1)
+            # exponents stay int32: unsigned min/max crashes Mosaic
+            e = jnp.where(sig, (_u32(32) - lax.clz(v1))
+                          .astype(jnp.int32), 0)
+            s = jnp.where(sig, (val - _u32(2)) + (t >> _u32(31)),
+                          _u32(0))
+            return sig, e, s
+
+        def pair_body(j, carry):
+            mel, vlc, ms, mrun, mk, c_q, max_e = carry
+            row_start = j == 0
+            second = (2 * j + 1) < qw
+            le = 2 * j
+
+            ev0 = e_val[pl.ds(0, 1)][0].astype(jnp.int32)
+            ev1 = e_val[pl.ds(1, 1)][0].astype(jnp.int32)
+            max_e = jnp.where(row_start,
+                              jnp.maximum(ev0, ev1) - 1, max_e)
+            cx0 = cx_val[pl.ds(0, 1)][0].astype(jnp.int32)
+            cx1 = cx_val[pl.ds(1, 1)][0].astype(jnp.int32)
+            c_q = jnp.where(
+                row_start,
+                jnp.where(init, zero, (cx0 + (cx1 << 2)).astype(_U32)),
+                c_q)
+            e_val[pl.ds(0, 1)] = jnp.where(row_start, zero,
+                                           ev0.astype(_U32))[None]
+            cx_val[pl.ds(0, 1)] = jnp.where(row_start, zero,
+                                            cx0.astype(_U32))[None]
+
+            # fetch 2x4 sample tile: buf block is (2, wp, S, 128)
+            sg = [None] * 8
+            ee = [None] * 8
+            ss = [None] * 8
+            for qi in range(2):
+                for k, (rr, cc) in enumerate(((0, 0), (1, 0),
+                                              (0, 1), (1, 1))):
+                    col = 4 * j + 2 * qi + cc
+                    t = buf[rr, pl.ds(col, 1)][0]
+                    sig, e, s = qsample(t)
+                    sg[qi * 4 + k] = sig
+                    ee[qi * 4 + k] = e
+                    ss[qi * 4 + k] = s
+            rho0 = (sg[0].astype(_U32) | (sg[1].astype(_U32) << 1)
+                    | (sg[2].astype(_U32) << 2)
+                    | (sg[3].astype(_U32) << 3))
+            rho1 = (sg[4].astype(_U32) | (sg[5].astype(_U32) << 1)
+                    | (sg[6].astype(_U32) << 2)
+                    | (sg[7].astype(_U32) << 3))
+            rho1 = jnp.where(second, rho1, _u32(0))
+            emax0 = jnp.maximum(jnp.maximum(ee[0], ee[1]),
+                                jnp.maximum(ee[2], ee[3]))
+            emax1 = jnp.maximum(jnp.maximum(ee[4], ee[5]),
+                                jnp.maximum(ee[6], ee[7]))
+
+            # ---- quad 0 ----
+            two0 = (rho0 & (rho0 - _u32(1))) != 0
+            kappa0 = jnp.where(init, 1,
+                               jnp.where(two0,
+                                         jnp.maximum(1, max_e), 1))
+            Uq0 = jnp.maximum(emax0, kappa0)
+            u_q0 = (Uq0 - kappa0).astype(jnp.int32)
+            eps0 = zero
+            for k in range(4):
+                hit = (ee[k] == emax0) & (ee[k] > 0)
+                eps0 = eps0 | (jnp.where((u_q0 > 0) & hit, _u32(1),
+                                         _u32(0)) << _u32(k))
+            prev_b = e_val[pl.ds(le, 1)][0].astype(jnp.int32)
+            e_val[pl.ds(le, 1)] = jnp.maximum(prev_b, ee[1]) \
+                .astype(_U32)[None]
+            nxt1 = e_val[pl.ds(le + 1, 1)][0].astype(jnp.int32)
+            nxt2 = e_val[pl.ds(le + 2, 1)][0].astype(jnp.int32)
+            max_e = jnp.where(init, max_e, jnp.maximum(nxt1, nxt2) - 1)
+            e_val[pl.ds(le + 1, 1)] = ee[3].astype(_U32)[None]
+            cxp = cx_val[pl.ds(le, 1)][0].astype(jnp.int32)
+            cx_val[pl.ds(le, 1)] = (cxp | ((rho0 & _u32(2)) >> 1)
+                                    .astype(jnp.int32)).astype(_U32)[None]
+            cq1b1 = cx_val[pl.ds(le + 1, 1)][0].astype(jnp.int32)
+            cq1b2 = cx_val[pl.ds(le + 2, 1)][0].astype(jnp.int32)
+            c_q1_base = (cq1b1 + (cq1b2 << 2)).astype(_U32)
+            cx_val[pl.ds(le + 1, 1)] = ((rho0 & _u32(8)) >> 3)[None]
+
+            tbase = jnp.where(init, 0, 2048)
+            idx0 = tbase + ((c_q << 8) + (rho0 << 4) + eps0) \
+                .astype(jnp.int32)
+            tuple0 = _tbl_lookup(vlct, idx0, 32)
+            vlc = _append(vlc, tuple0 >> _u32(8),
+                          ((tuple0 >> _u32(4)) & _u32(7))
+                          .astype(jnp.int32))
+            vlc = _maybe_flush(vlc, vlcw, wv)
+            mel, mrun, mk = mel_event(c_q == 0, rho0 != 0, mel,
+                                      mrun, mk)
+            mel = _maybe_flush(mel, melw, wm)
+            for k in range(4):
+                m = jnp.where(((rho0 >> _u32(k)) & _u32(1)) != 0,
+                              (Uq0.astype(_U32)
+                               - ((tuple0 >> _u32(k)) & _u32(1))),
+                              _u32(0))
+                m = lax.bitcast_convert_type(
+                    jnp.minimum(m.astype(jnp.int32), 31), _U32)
+                ms = _append(ms, ss[k], m.astype(jnp.int32))
+                ms = _maybe_flush(ms, msw, ws)
+
+            # ---- quad 1 ----
+            c_q1 = jnp.where(
+                init, (rho0 >> 1) | (rho0 & _u32(1)),
+                c_q1_base | ((rho0 & _u32(4)) >> 1)
+                | ((rho0 & _u32(8)) >> 2))
+            two1 = (rho1 & (rho1 - _u32(1))) != 0
+            kappa1 = jnp.where(init, 1,
+                               jnp.where(two1,
+                                         jnp.maximum(1, max_e), 1))
+            Uq1 = jnp.maximum(emax1, kappa1)
+            u_q1 = jnp.where(second, Uq1 - kappa1, 0) \
+                .astype(jnp.int32)
+            eps1 = zero
+            for k in range(4):
+                hit = (ee[4 + k] == emax1) & (ee[4 + k] > 0)
+                eps1 = eps1 | (jnp.where((u_q1 > 0) & hit, _u32(1),
+                                         _u32(0)) << _u32(k))
+            prev_b = e_val[pl.ds(le + 1, 1)][0].astype(jnp.int32)
+            ev2 = jnp.maximum(prev_b, ee[5])
+            nxt1 = e_val[pl.ds(le + 2, 1)][0].astype(jnp.int32)
+            nxt2 = e_val[pl.ds(le + 3, 1)][0].astype(jnp.int32)
+            max_e2 = jnp.where(init, max_e,
+                               jnp.maximum(nxt1, nxt2) - 1)
+            cxp = cx_val[pl.ds(le + 1, 1)][0].astype(jnp.int32)
+            cxv2 = cxp | ((rho1 & _u32(2)) >> 1).astype(jnp.int32)
+            cq0b1 = cx_val[pl.ds(le + 2, 1)][0].astype(jnp.int32)
+            cq0b2 = cx_val[pl.ds(le + 3, 1)][0].astype(jnp.int32)
+            c_q0n = (cq0b1 + (cq0b2 << 2)).astype(_U32)
+
+            idx1 = tbase + ((c_q1 << 8) + (rho1 << 4) + eps1) \
+                .astype(jnp.int32)
+            tuple1 = _tbl_lookup(vlct, idx1, 32)
+            vlc = _append(vlc, tuple1 >> _u32(8),
+                          jnp.where(second,
+                                    (tuple1 >> _u32(4)) & _u32(7),
+                                    _u32(0)).astype(jnp.int32))
+            vlc = _maybe_flush(vlc, vlcw, wv)
+            mel, mrun, mk = mel_event(second & (c_q1 == 0),
+                                      rho1 != 0, mel, mrun, mk)
+            mel = _maybe_flush(mel, melw, wm)
+            for k in range(4):
+                m = jnp.where(((rho1 >> _u32(k)) & _u32(1)) != 0,
+                              (Uq1.astype(_U32)
+                               - ((tuple1 >> _u32(k)) & _u32(1))),
+                              _u32(0))
+                m = lax.bitcast_convert_type(
+                    jnp.minimum(m.astype(jnp.int32), 31), _U32)
+                m = jnp.where(second, m, _u32(0))
+                ms = _append(ms, ss[4 + k], m.astype(jnp.int32))
+                ms = _maybe_flush(ms, msw, ws)
+
+            # state written by quad1 only when it exists
+            e_val[pl.ds(le + 1, 1)] = jnp.where(
+                second, ev2.astype(_U32),
+                e_val[pl.ds(le + 1, 1)][0])[None]
+            e_val[pl.ds(le + 2, 1)] = jnp.where(
+                second, ee[7].astype(_U32),
+                e_val[pl.ds(le + 2, 1)][0])[None]
+            cx_val[pl.ds(le + 1, 1)] = jnp.where(
+                second, cxv2.astype(_U32),
+                cx_val[pl.ds(le + 1, 1)][0])[None]
+            cx_val[pl.ds(le + 2, 1)] = jnp.where(
+                second, (rho1 & _u32(8)) >> 3,
+                cx_val[pl.ds(le + 2, 1)][0])[None]
+            max_e = jnp.where(second, max_e2, max_e)
+
+            # ---- u codes ----
+            melu_present = init & (u_q0 > 0) & (u_q1 > 0)
+            melu_bit = jnp.minimum(u_q0, u_q1) > 2
+            mel, mrun, mk = mel_event(melu_present, melu_bit, mel,
+                                      mrun, mk)
+            mel = _maybe_flush(mel, melw, wm)
+            p0a, l0a, s0a, sl0a = uvlc_gather(u_q0 - 2)
+            p1a, l1a, s1a, sl1a = uvlc_gather(u_q1 - 2)
+            p0b, l0b, s0b, sl0b = uvlc_gather(u_q0)
+            p1b, l1b, s1b, sl1b = uvlc_gather(u_q1)
+            caseA = init & (u_q0 > 2) & (u_q1 > 2)
+            caseB = init & (u_q0 > 2) & (u_q1 > 0) & ~caseA
+            c2 = jnp.where(caseA, p0a, p0b)
+            L2 = jnp.where(caseA, l0a, l0b)
+            c3 = jnp.where(caseA, p1a,
+                           jnp.where(caseB,
+                                     (u_q1 - 1).astype(_U32), p1b))
+            L3 = jnp.where(caseA, _u32(0) + l1a,
+                           jnp.where(caseB, _u32(1), l1b))
+            c4 = jnp.where(caseA, s0a, s0b)
+            L4 = jnp.where(caseA, sl0a, sl0b)
+            c5 = jnp.where(caseA, s1a, jnp.where(caseB, _u32(0), s1b))
+            L5 = jnp.where(caseA, sl1a,
+                           jnp.where(caseB, _u32(0), sl1b))
+            for cw, ll in ((c2, L2), (c3, L3), (c4, L4), (c5, L5)):
+                vlc = _append(vlc, cw, ll.astype(jnp.int32))
+                vlc = _maybe_flush(vlc, vlcw, wv)
+
+            # next pair's context
+            c_q = jnp.where(
+                init,
+                jnp.where(second, (rho1 >> 1) | (rho1 & _u32(1)),
+                          _u32(0)),
+                jnp.where(second,
+                          c_q0n | ((rho1 & _u32(4)) >> 1)
+                          | ((rho1 & _u32(8)) >> 2),
+                          c_q1_base))
+            return (mel, vlc, ms, mrun, mk, c_q, max_e)
+
+        mel, vlc, ms, mrun, mk, c_q, max_e = lax.fori_loop(
+            0, pairs, pair_body,
+            (mel, vlc, ms, mrun, mk, c_q, max_e))
+
+        @pl.when(r == qh - 1)
+        def _finish():
+            mel2, mrun2 = mel, mrun
+            # MEL terminate: flush a pending run with a '1'
+            # (pack tail, ojph_block_encoder.cpp:412)
+            cw = jnp.where(mrun2 > 0, _u32(1), _u32(0))
+            ln = jnp.where(mrun2 > 0, 1, 0)
+            mel3 = _append(mel2, cw, ln)
+            melbits = (mel3[_NLIMB + 1] * 32 + mel3[_NLIMB]) \
+                .astype(_U32)
+            vlcbits = (vlc[_NLIMB + 1] * 32 + vlc[_NLIMB]).astype(_U32)
+            msbits = (ms[_NLIMB + 1] * 32 + ms[_NLIMB]).astype(_U32)
+            meld = _drain(mel3, melw, wm)
+            vlcd = _drain(vlc, vlcw, wv)
+            msd = _drain(ms, msw, ws)
+            meta_out[0] = melbits
+            meta_out[1] = vlcbits
+            meta_out[2] = msbits
+            meta_out[3] = meld[_NLIMB + 2] | vlcd[_NLIMB + 2] \
+                | msd[_NLIMB + 2]
+
+        @pl.when(r < qh - 1)
+        def _carry():
+            st_writer(state, _MELW, mel)
+            st_writer(state, _VLCW, vlc)
+            st_writer(state, _MSW, ms)
+            state[_MRUN] = mrun.astype(_U32)
+            state[_MK] = mk.astype(_U32)
+            state[_CQ] = c_q
+            state[_MAXE] = max_e.astype(_U32)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _run_encode_pallas(buf, p, dims, caps, nlanes, interpret=False):
+    """buf [N, hp, wp] u32 sign-magnitude (padded); p [N] int32
+    (= 31 - kmax); dims = (qw, qh, wp); caps = (wm, wv, ws) output
+    word-plane heights.  Returns (melw, vlcw, msw [N, W*],
+    bits [N, 3] int32, ovf [N] bool)."""
+    qw, qh, wp = dims
+    wm, wv, ws = caps
+    S = nlanes // 128
+
+    kern = _make_kernel(qw, qh, S, wp, wm, wv, ws)
+    vlct, uvt = _enc_tables_chunks()
+
+    # (N, hp, wp) -> (hp, wp, S, 128)
+    b = buf.reshape(S, 128, buf.shape[1], wp).transpose(2, 3, 0, 1)
+
+    const2 = lambda r: (0, 0)
+    const3 = lambda r: (0, 0, 0)
+    melw, vlcw, msw, meta = pl.pallas_call(
+        kern,
+        grid=(qh,),
+        in_specs=[
+            pl.BlockSpec((2, wp, S, 128), lambda r: (r, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 128), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((32, 128), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 128), const2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((wm, S, 128), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wv, S, 128), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ws, S, 128), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, S, 128), const3, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((wm, S, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((wv, S, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((ws, S, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((4, S, 128), jnp.uint32),
+        ],
+        interpret=interpret,
+        scratch_shapes=[
+            pltpu.VMEM((28, S, 128), jnp.uint32),       # writers + ctx
+            pltpu.VMEM((2 * ((qw + 1) // 2) * 2 + 4, S, 128),
+                       jnp.uint32),                      # e_val rows
+            pltpu.VMEM((2 * ((qw + 1) // 2) * 2 + 4, S, 128),
+                       jnp.uint32),                      # cx_val rows
+        ],
+    )(b, p.reshape(S, 128), vlct, uvt)
+
+    def back(w):
+        return w.transpose(1, 2, 0).reshape(S * 128, w.shape[0])
+
+    bits = meta[:3].transpose(1, 2, 0).reshape(S * 128, 3) \
+        .astype(jnp.int32)
+    ovf = meta[3].reshape(S * 128) != 0
+    return back(melw), back(vlcw), back(msw), bits, ovf
+
+
+def encode_cleanup_pallas(buf, p, width: int, height: int,
+                          caps, interpret: bool = False):
+    """Encode N same-shape blocks into dense unstuffed bit streams.
+
+    buf [N, hp, wp] uint32 sign-magnitude; p = 31 - kmax [N].
+    caps = (wm, wv, ws) static word caps (overflowing lanes are
+    flagged for scalar fallback).  Returns (melw, vlcw, msw word rows
+    [N, W*], bits [N, 3], ovf [N])."""
+    n = buf.shape[0]
+    qw = (width + 1) >> 1
+    qh = (height + 1) >> 1
+    return _run_encode_pallas(buf, jnp.asarray(p, jnp.int32),
+                              (qw, qh, buf.shape[2]), tuple(caps), n,
+                              interpret)

@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import partial
+
 from .. import native
 from ..codec import Encoder
 from ..core.t2 import CodedBlock
@@ -27,6 +29,33 @@ from ..core.geometry import build_tile, build_tile_grid
 from . import color as jclr
 from . import dwt as jdwt
 from .block_encode import encode_cleanup_core
+from .pipeline import _bucket_words, _use_pallas
+
+
+def _ebucket(n: int) -> int:
+    """Word-cap bucket (pow2 then 128-multiples) for encoder output
+    planes; static per plan."""
+    b = 32
+    while b < n and b < 1024:
+        b *= 2
+    if n <= b:
+        return b
+    return -(-n // 128) * 128
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _compact_words(planes, seg_off, seg_base, D: int):
+    """Gather the used prefix of every (lane, stream) word row into
+    one dense buffer: out[j] = src[seg_base[s] + j - seg_off[s]] where
+    s is the segment containing j.  Runs on device so only ~coded-size
+    bytes cross the host link."""
+    src = jnp.concatenate([x.reshape(-1) for x in planes])
+    j = jnp.arange(D, dtype=jnp.int32)
+    seg = jnp.searchsorted(seg_off, j, side='right') \
+        .astype(jnp.int32) - 1
+    k = j - jnp.take(seg_off, seg, mode='clip')
+    idx = jnp.take(seg_base, seg, mode='clip') + k
+    return jnp.take(src, idx, mode='clip')
 
 
 @dataclass
@@ -40,6 +69,8 @@ class _EncGroup:
     lanes: list = field(default_factory=list)
     p: list = field(default_factory=list)        # 31 - kmax per lane
     thresh: list = field(default_factory=list)   # zero-block threshold
+    n_pad: int = 0                               # pallas lane padding
+    caps: tuple = (0, 0, 0)                      # dense word caps
 
 
 @dataclass
@@ -137,25 +168,41 @@ class TpuEncoder(Encoder):
                 merged.append((lane0, nrows, ncols, h_t, bid, y0, x0))
             g.strips = merged
         mct = self.cod.mc_trans == 1 and nc >= 3
+        for g in glist:
+            # worst-case dense output words per lane for the pallas
+            # packer (overflow then cannot happen; flag kept anyway)
+            qw = (g.w + 1) >> 1
+            qh = (g.h + 1) >> 1
+            pairs = (qw + 1) >> 1
+            kx = 31 - min(g.p)
+            g.caps = (_ebucket(qh * pairs * 18 // 32 + 2),
+                      _ebucket(qh * pairs * 34 // 32 + 2),
+                      _ebucket(qw * qh * 4 * (kx + 1) // 32 + 2))
+            g.n_pad = -(-len(g.lanes) // 128) * 128
         key = (tuple((g.gid, g.w, g.h, len(g.lanes), tuple(g.strips),
-                      tuple(g.p)) for g in glist),
+                      tuple(g.p), g.caps) for g in glist),
                tuple(bands), tuple(comps), mct)
         return _EncPlan(key, glist, bands, comps, mct)
 
     def _make_enc_runner(self, plan: _EncPlan):
         groups, bands, comps, mct = (plan.groups, plan.bands,
                                      plan.comps, plan.mct)
+        use_pallas = _use_pallas()
+        if use_pallas:
+            from .block_encode_pallas import encode_cleanup_pallas
 
         def run(*planes):
-            # conversion + MCT
+            # conversion + MCT (inputs arrive in their narrow upload
+            # dtype; widen on device)
             conv = []
             for ci, (rev, bd, sgn, nlt3, _) in enumerate(comps):
+                pl32 = planes[ci].astype(jnp.int32)
                 if rev:
-                    conv.append(jclr.rev_convert_in(planes[ci], bd, sgn,
+                    conv.append(jclr.rev_convert_in(pl32, bd, sgn,
                                                     nlt3))
                 else:
                     conv.append(jclr.irv_convert_to_float(
-                        planes[ci], bd, sgn, nlt3))
+                        pl32, bd, sgn, nlt3))
             if mct:
                 if comps[0][0]:
                     y, cb, cr = jclr.rct_forward(conv[0], conv[1],
@@ -228,11 +275,30 @@ class TpuEncoder(Encoder):
                     flags.append(orv)
                 buf = jnp.concatenate(pieces, axis=0)
                 orv = jnp.concatenate(flags, axis=0)
-                p = jnp.asarray(np.array(g.p, np.int32))
                 nz = orv >= jnp.asarray(np.array(g.thresh, np.uint32))
-                mel_e, vlc_c, vlc_l, ms_v, ms_l = encode_cleanup_core(
-                    buf, p, g.w, g.h)
-                outs.append((mel_e, vlc_c, vlc_l, ms_v, ms_l, nz))
+                if use_pallas:
+                    pad = g.n_pad - buf.shape[0]
+                    bufp = jnp.pad(buf, ((0, pad), (0, 0), (0, 0)))
+                    pp = jnp.asarray(np.pad(
+                        np.array(g.p, np.int32), (0, pad),
+                        mode='edge'))
+                    melw, vlcw, msw, bits, ovf = encode_cleanup_pallas(
+                        bufp, pp, g.w, g.h, g.caps)
+                    outs.append((melw, vlcw, msw, bits, nz, ovf))
+                else:
+                    p = jnp.asarray(np.array(g.p, np.int32))
+                    mel_e, vlc_c, vlc_l, ms_v, ms_l = \
+                        encode_cleanup_core(buf, p, g.w, g.h)
+                    outs.append((mel_e, vlc_c, vlc_l, ms_v, ms_l, nz))
+            if use_pallas:
+                # one small aux buffer -> one host fetch (the link is
+                # latency-dominated)
+                aux = jnp.concatenate(
+                    [o[3].reshape(-1) for o in outs]
+                    + [o[4].reshape(-1).astype(jnp.int32) for o in outs]
+                    + [o[5].reshape(-1).astype(jnp.int32)
+                       for o in outs])
+                return tuple(o[:3] for o in outs), aux
             return tuple(outs)
 
         return jax.jit(run)
@@ -256,9 +322,17 @@ class TpuEncoder(Encoder):
             dx, dy = siz.comps[c].dx, siz.comps[c].dy
             ox = comp.rect.x0 - (-(-siz.xosiz // dx))
             oy = comp.rect.y0 - (-(-siz.yosiz // dy))
-            tplanes.append(np.ascontiguousarray(
-                planes[c][oy:oy + comp.rect.h, ox:ox + comp.rect.w]
-                .astype(np.int32)))
+            tp = planes[c][oy:oy + comp.rect.h, ox:ox + comp.rect.w]
+            bd = siz.comps[c].bit_depth
+            sgn = siz.comps[c].is_signed
+            # narrowest upload dtype; the runner widens on device
+            if bd <= 8:
+                dt = np.int8 if sgn else np.uint8
+            elif bd <= 16:
+                dt = np.int16 if sgn else np.uint16
+            else:
+                dt = np.int32
+            tplanes.append(np.ascontiguousarray(tp.astype(dt)))
         outs = runner(*tplanes)
 
         # host: pack segments, build the coded-block structure
@@ -273,6 +347,27 @@ class TpuEncoder(Encoder):
                     if sb is not None and not sb.empty:
                         coded[c][r][b] = [CodedBlock()
                                           for _ in sb.blocks]
+        if _use_pallas():
+            try:
+                self._consume_pallas_outs(plan, outs, coded)
+            except _PallasOverflow:
+                return super()._encode_tile(idx, tr, planes)
+        else:
+            self._consume_record_outs(plan, outs, coded)
+        del outs
+
+        # emit packets in progression order, annotated (comp, res)
+        from ..core.t2 import encode_precinct, precinct_iterator
+        packets = []
+        cod = self.cod
+        for (c, r, pidx) in precinct_iterator(geom, cod.prog_order):
+            res = geom.comps[c].resolutions[r]
+            packets.append((c, r, encode_precinct(
+                res, pidx, coded[c][r], cod.uses_eph, cod.uses_sop)))
+        return packets
+
+
+    def _consume_record_outs(self, plan, outs, coded):
         for gi, g in enumerate(plan.groups):
             mel_e, vlc_c, vlc_l, ms_v, ms_l, nz = outs[gi]
             sw = lambda a: np.asarray(a).swapaxes(0, 1)
@@ -284,27 +379,82 @@ class TpuEncoder(Encoder):
             out, lens = native.pack_cleanup_segments(
                 sw(mel_e), sw(vlc_c), sw(vlc_l), sw(ms_v), sw(ms_l),
                 pairs_real, out_stride=g.h * g.w * 5 + 256)
-            for lane, (bid, bi, h_t) in enumerate(g.lanes):
-                (c, r, b, kmax, _, _, _, _) = plan.bands[bid]
-                cb = coded[c][r][b][bi]
-                if not nz[lane]:
-                    continue  # zero block
-                if lens[lane] == 0:  # packer overflow: scalar fallback
-                    return super()._encode_tile(idx, tr, planes)
-                cb.missing_msbs = kmax - 1
-                cb.num_passes = 1
-                cb.data = bytes(out[lane, :lens[lane]])
-                cb.pass_length[0] = int(lens[lane])
+            self._fill_coded(plan, g, coded, out, lens, nz)
 
-        # emit packets in progression order, annotated (comp, res)
-        from ..core.t2 import encode_precinct, precinct_iterator
-        packets = []
-        cod = self.cod
-        for (c, r, pidx) in precinct_iterator(geom, cod.prog_order):
-            res = geom.comps[c].resolutions[r]
-            packets.append((c, r, encode_precinct(
-                res, pidx, coded[c][r], cod.uses_eph, cod.uses_sop)))
-        return packets
+    def _consume_pallas_outs(self, plan, outs, coded):
+        """Two-dispatch drain of the pallas encoder: fetch the small
+        per-lane aux buffer (bit counts / zero flags / overflow)
+        first, then gather only the used word prefixes into one dense
+        buffer on device and fetch that."""
+        group_planes, aux = outs
+        aux = np.asarray(aux)
+        pos = 0
+        bits_all = []
+        for g in plan.groups:
+            bits_all.append(aux[pos:pos + g.n_pad * 3]
+                            .reshape(g.n_pad, 3))
+            pos += g.n_pad * 3
+        nz_all = []
+        for g in plan.groups:
+            nlanes = len(g.lanes)
+            nz_all.append(aux[pos:pos + nlanes] != 0)
+            pos += nlanes
+        for g in plan.groups:
+            if aux[pos:pos + g.n_pad].any():
+                raise _PallasOverflow()
+            pos += g.n_pad
+        planes = []
+        seg_off = [0]
+        seg_base = []
+        metas = []
+        base = 0
+        for gi, g in enumerate(plan.groups):
+            melw, vlcw, msw = group_planes[gi]
+            bits = bits_all[gi]
+            cnts = (bits + 31) // 32
+            caps = g.caps
+            stream_bases = []
+            for arr, cap in ((melw, caps[0]), (vlcw, caps[1]),
+                             (msw, caps[2])):
+                planes.append(arr)
+                stream_bases.append(base)
+                base += g.n_pad * cap
+            meta = np.zeros((g.n_pad, 6), np.int64)
+            for lane in range(g.n_pad):
+                for si, cap in enumerate(caps):
+                    meta[lane, si * 2] = seg_off[-1]
+                    meta[lane, si * 2 + 1] = bits[lane, si]
+                    seg_base.append(stream_bases[si] + lane * cap)
+                    seg_off.append(seg_off[-1] + int(cnts[lane, si]))
+            metas.append(meta)
+        total = seg_off[-1]
+        D = _bucket_words(max(total, 1))
+        dense = np.asarray(_compact_words(
+            tuple(planes),
+            jnp.asarray(np.asarray(seg_off[:-1], np.int32)),
+            jnp.asarray(np.asarray(seg_base, np.int32)), D))
+        for gi, g in enumerate(plan.groups):
+            out, lens = native.pack_from_dense(
+                dense, metas[gi][:len(g.lanes)],
+                out_stride=g.h * g.w * 5 + 256)
+            self._fill_coded(plan, g, coded, out, lens, nz_all[gi])
+
+    def _fill_coded(self, plan, g, coded, out, lens, nz):
+        for lane, (bid, bi, h_t) in enumerate(g.lanes):
+            (c, r, b, kmax, _, _, _, _) = plan.bands[bid]
+            cb = coded[c][r][b][bi]
+            if not nz[lane]:
+                continue  # zero block
+            if lens[lane] == 0:
+                raise _PallasOverflow()
+            cb.missing_msbs = kmax - 1
+            cb.num_passes = 1
+            cb.data = bytes(out[lane, :lens[lane]])
+            cb.pass_length[0] = int(lens[lane])
+
+
+class _PallasOverflow(Exception):
+    pass
 
 
 def encode_tpu(planes, **kwargs) -> bytes:

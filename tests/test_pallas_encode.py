@@ -1,0 +1,76 @@
+"""Parity: the Pallas HT cleanup ENCODER kernel + dense packer vs the
+verified records path (block_encode.py + pack_cleanup_segments) —
+segments must be byte-identical.
+
+Runs the kernel in Pallas interpret mode on the CPU test mesh; the
+same code path compiles via Mosaic on a real chip.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from openjph_tpu import native
+from openjph_tpu.tpu.block_encode import encode_cleanup_core
+from openjph_tpu.tpu.block_encode_pallas import encode_cleanup_pallas
+from openjph_tpu.tpu.encode_pipeline import _ebucket
+
+pytestmark = pytest.mark.skipif(not native.have_native(),
+                                reason='needs the native library')
+
+
+def _caps(w, h, kmax):
+    qw, qh = (w + 1) // 2, (h + 1) // 2
+    pairs = (qw + 1) // 2
+    return (_ebucket(qh * pairs * 18 // 32 + 2),
+            _ebucket(qh * pairs * 34 // 32 + 2),
+            _ebucket(qw * qh * 4 * (kmax + 1) // 32 + 2))
+
+
+@pytest.mark.parametrize('w,h,kmax', [(16, 16, 8), (32, 16, 5),
+                                      (4, 4, 8), (6, 10, 12)])
+def test_encode_kernel_segments_match_records(rng, w, h, kmax):
+    n = 128
+    hp, wp = ((h + 1) // 2) * 2, ((w + 3) // 4) * 4
+    mag = rng.randint(0, 1 << kmax, (n, h, w)).astype(np.uint32)
+    mag[0] = 0          # zero block
+    mag[1, 2:] = 0      # sparse block
+    sign = rng.randint(0, 2, (n, h, w)).astype(np.uint32) << 31
+    buf = np.zeros((n, hp, wp), np.uint32)
+    buf[:, :h, :w] = np.where(mag != 0, sign, 0) | (mag << (31 - kmax))
+    p = np.full(n, 31 - kmax, np.int32)
+
+    mel_e, vlc_c, vlc_l, ms_v, ms_l = encode_cleanup_core(
+        jnp.asarray(buf), jnp.asarray(p), w, h)
+    sw = lambda a: np.asarray(a).swapaxes(0, 1)
+    pairs = ((w + 1) // 2 + 1) // 2
+    qh = (h + 1) // 2
+    pairs_real = np.full(n, qh * pairs, np.int64)
+    stride = h * w * 5 + 256
+    out_r, lens_r = native.pack_cleanup_segments(
+        sw(mel_e), sw(vlc_c), sw(vlc_l), sw(ms_v), sw(ms_l),
+        pairs_real, out_stride=stride)
+
+    caps = _caps(w, h, kmax)
+    melw, vlcw, msw, bits, ovf = encode_cleanup_pallas(
+        jnp.asarray(buf), jnp.asarray(p), w, h, caps, interpret=True)
+    melw, vlcw, msw, bits, ovf = (np.asarray(x) for x in
+                                  (melw, vlcw, msw, bits, ovf))
+    assert not ovf.any()
+    cnts = (bits + 31) // 32
+    meta = np.zeros((n, 6), np.int64)
+    chunks = []
+    cur = 0
+    for i in range(n):
+        for si, pln in ((0, melw), (1, vlcw), (2, msw)):
+            c = int(cnts[i, si])
+            meta[i, si * 2] = cur
+            meta[i, si * 2 + 1] = int(bits[i, si])
+            chunks.append(pln[i, :c])
+            cur += c
+    dense = np.concatenate(chunks)
+    out_p, lens_p = native.pack_from_dense(dense, meta,
+                                           out_stride=stride)
+    for i in range(n):
+        assert lens_r[i] == lens_p[i], f'lane {i} length'
+        assert np.array_equal(out_r[i, :lens_r[i]],
+                              out_p[i, :lens_p[i]]), f'lane {i} bytes'
