@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Decode fuzzer (the reference's libFuzzer analogue,
+fuzzing/fuzz_targets/ojph_expand_fuzz_target.cpp).
+
+Strategy: start from valid self-encoded seed streams, apply random
+byte mutations (flips, truncations, splices), and decode in both
+strict and resilient modes.  The contract under fuzz: decoding raises
+only ValueError/EOFError (strict) and never raises in resilient mode
+for streams whose main header survives; no hangs, no crashes.  The
+same work-explosion guards as the reference apply (bounded samples /
+decompositions via the seed geometry).
+
+Usage: python fuzzing/fuzz_decode.py [iterations] [seed]
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+
+import numpy as np  # noqa: E402
+
+
+def make_seeds():
+    from openjph_tpu import encode
+    rng = np.random.RandomState(7)
+    seeds = []
+    img = rng.randint(0, 256, (64, 80)).astype(np.int32)
+    seeds.append(encode([img], reversible=True, num_decomps=3,
+                        block_size=(32, 32)))
+    rgb = rng.randint(0, 256, (48, 52, 3)).astype(np.int32)
+    seeds.append(encode(rgb, reversible=True))
+    seeds.append(encode(rgb, reversible=False, base_delta=1 / 256))
+    seeds.append(encode([img], reversible=True, tile_size=(32, 32),
+                        prog_order=0))
+    return seeds
+
+
+def mutate(rng, data: bytes) -> bytes:
+    b = bytearray(data)
+    op = rng.randint(0, 4)
+    if op == 0 and len(b) > 2:                 # flip random bytes
+        for _ in range(rng.randint(1, 9)):
+            b[rng.randint(0, len(b))] ^= 1 << rng.randint(0, 8)
+    elif op == 1 and len(b) > 4:               # truncate
+        b = b[:rng.randint(2, len(b))]
+    elif op == 2 and len(b) > 8:               # splice a chunk
+        i = rng.randint(0, len(b) - 4)
+        j = rng.randint(0, len(b) - 4)
+        n = rng.randint(1, 64)
+        b[i:i + n] = b[j:j + n]
+    else:                                      # random insert
+        i = rng.randint(0, len(b))
+        b[i:i] = bytes(rng.randint(0, 256, rng.randint(1, 16),
+                                   dtype=np.uint8))
+    return bytes(b)
+
+
+def run(iterations=1000, seed=0, quiet=False):
+    from openjph_tpu import decode
+    seeds = make_seeds()
+    rng = np.random.RandomState(seed)
+    stats = {'ok': 0, 'valueerror': 0, 'eof': 0, 'resilient_ok': 0}
+    for it in range(iterations):
+        data = mutate(rng, seeds[rng.randint(0, len(seeds))])
+        try:
+            decode(data)
+            stats['ok'] += 1
+        except ValueError:
+            stats['valueerror'] += 1
+        except EOFError:
+            stats['eof'] += 1
+        # resilient mode must not raise once headers parse; a raise
+        # from header parsing itself is contractual
+        try:
+            decode(data, resilient=True)
+            stats['resilient_ok'] += 1
+        except (ValueError, EOFError):
+            pass
+        if not quiet and it and it % 100 == 0:
+            print(f'{it}: {stats}')
+    if not quiet:
+        print('done:', stats)
+    return stats
+
+
+if __name__ == '__main__':
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    sd = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    run(iters, sd)

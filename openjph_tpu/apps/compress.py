@@ -89,6 +89,11 @@ def _load_input(args: Args):
         planes = imageio.read_yuv(path, dims[0], dims[1], bds[0], ds)
         bit_depth = bds[0]
         downsamp = ds
+    elif ext in ('.tif', '.tiff'):
+        img = imageio.read_tiff(path)
+        bit_depth = 8 if img.dtype.itemsize == 1 else 16
+        planes = [img[..., c] for c in range(img.shape[2])] \
+            if img.ndim == 3 else [img]
     elif ext == '.dpx':
         img, bit_depth = imageio.read_dpx(path)
         planes = [img[..., c] for c in range(img.shape[2])] \

@@ -73,6 +73,14 @@ def main(argv=None) -> int:
         elif ext in ('.raw', '.rawl'):
             sgn = siz.comps[0].is_signed
             imageio.write_raw(out, planes[0], bd, sgn)
+        elif ext in ('.tif', '.tiff'):
+            dtype = np.uint8 if bd <= 8 else np.uint16
+            maxval = (1 << bd) - 1
+            clipped = [np.clip(p, 0, maxval).astype(dtype)
+                       for p in planes]
+            img = np.stack(clipped, axis=-1) if len(clipped) > 1 \
+                else clipped[0]
+            imageio.write_tiff(out, img)
         elif ext == '.pfm':
             img = np.stack(planes, axis=-1).astype(np.float32) \
                 if len(planes) > 1 else planes[0].astype(np.float32)

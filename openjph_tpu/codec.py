@@ -46,8 +46,15 @@ class _TileState:
 
 def _tx_from_cb(block: np.ndarray, kmax: int, delta: float,
                 reversible: bool) -> np.ndarray:
-    """Sign-magnitude -> subband samples (gen_rev/irv_tx_from_cb32,
+    """Sign-magnitude -> subband samples (gen_rev/irv_tx_from_cb32/64,
     ojph_codestream_gen.cpp:124-168)."""
+    if reversible and kmax >= 31:
+        # 64-bit path (>30 bit planes)
+        blk = block.astype(np.uint64)
+        mag = blk & np.uint64((1 << 63) - 1)
+        neg = (blk >> np.uint64(63)).astype(bool)
+        val = (mag >> np.uint64(63 - kmax)).astype(np.int64)
+        return np.where(neg, -val, val)
     mag = (block & 0x7FFFFFFF).astype(np.uint32)
     neg = (block >> 31).astype(bool)
     if reversible:
@@ -63,6 +70,13 @@ def _tx_to_cb(plane: np.ndarray, kmax: int, delta_inv: float,
     ojph_codestream_gen.cpp:59-121).  Returns (samples, val_array) where
     val_array is the magnitude term used for the reference's max_val
     accounting (it may overflow into bit 31, which the reference keeps)."""
+    if reversible and kmax >= 31:
+        # 64-bit path (gen_rev_tx_to_cb64)
+        sign = np.where(plane < 0, np.uint64(1) << np.uint64(63),
+                        np.uint64(0))
+        mag = np.abs(plane.astype(np.int64)).astype(np.uint64)
+        val = mag << np.uint64(63 - kmax)
+        return sign | val, val
     if reversible:
         sign = np.where(plane < 0, np.uint32(0x80000000), np.uint32(0))
         mag = np.abs(plane.astype(np.int64)).astype(np.uint32)
@@ -124,6 +138,10 @@ class Decoder:
                     pos += 1
                     continue
                 raise ValueError(f'expected SOT, found {mrk:#06x}')
+            if pos + 14 > n:
+                if self.resilient:
+                    break
+                raise EOFError('codestream truncated inside SOT')
             sot = mk.Sot.from_bytes(buf[pos + 4: pos + 14])
             tp_start = pos
             pos += 12
@@ -132,6 +150,9 @@ class Decoder:
                 m2 = struct.unpack_from('>H', buf, pos)[0]
                 if m2 == mk.Marker.SOD:
                     pos += 2
+                    break
+                if pos + 4 > n:
+                    pos = n
                     break
                 ln = struct.unpack_from('>H', buf, pos + 2)[0]
                 pos += 2 + ln
@@ -142,6 +163,13 @@ class Decoder:
                 raise EOFError('codestream truncated inside a tile-part')
             payload_end = min(payload_end, n)
             try:
+                # wrong tile index / malformed tile-part header: the
+                # reference skips the tile-part when resilient and
+                # errors otherwise (ojph_codestream_local.cpp:925-950)
+                if sot.isot >= len(self.tiles):
+                    raise ValueError(f'wrong tile index {sot.isot}')
+                if payload_end <= pos:
+                    raise ValueError('tile-part header runs past Psot')
                 self._parse_one_tile_part(sot, pos, payload_end - pos)
             except (ValueError, EOFError):
                 if not self.resilient:
@@ -182,6 +210,8 @@ class Decoder:
                      coded: List[Optional[CodedBlock]],
                      reversible: bool, vert_causal: bool,
                      dtype) -> np.ndarray:
+        if reversible and sb.kmax >= 31:
+            dtype = np.int64  # 64-bit sample path
         plane = np.zeros((sb.rect.h, sb.rect.w), dtype=dtype)
         for cb_geom in sb.blocks:
             i = cb_geom.cb_y * sb.num_cb_x + cb_geom.cb_x
@@ -248,10 +278,10 @@ class Decoder:
             bd = siz.comps[c].bit_depth
             sgn = siz.comps[c].is_signed
             nlt3 = self.hdr.nlt.type3_for(c)
+            odt = np.int64 if (bd >= 32 and not sgn) else np.int32
             if self.hdr.get_cod(c).is_reversible:
                 out.append(clr.rev_convert_out(planes[c].astype(np.int64),
-                                               bd, sgn, nlt3).astype(
-                                                   np.int32))
+                                               bd, sgn, nlt3).astype(odt))
             else:
                 out.append(clr.irv_convert_to_integer(
                     planes[c], bd, sgn, nlt3).astype(np.int32))
@@ -276,7 +306,12 @@ class Decoder:
             fx, fy = dx * sk, dy * sk
             w = -(-siz.xsiz // fx) - (-(-siz.xosiz // fx))
             h = -(-siz.ysiz // fy) - (-(-siz.yosiz // fy))
-            full.append(np.zeros((h, w), dtype=np.int32))
+            bd_c = siz.comps[c].bit_depth
+            sgn_c = siz.comps[c].is_signed
+            full.append(np.zeros(
+                (h, w),
+                dtype=np.int64 if (bd_c >= 32 and not sgn_c)
+                else np.int32))
         for st in self.tiles:
             planes = tile_planes[st.geom.idx]
             for c in range(nc):
@@ -494,7 +529,9 @@ class Encoder:
             sgn = siz.comps[c].is_signed
             nlt3 = self.hdr.nlt.type3_for(c)
             if self._get_cod(c).is_reversible:
-                tplanes.append(clr.rev_convert_in(sub, bd, sgn, nlt3))
+                dt = np.int64 if bd > 28 else np.int32
+                tplanes.append(clr.rev_convert_in(sub, bd, sgn, nlt3,
+                                                  dtype=dt))
             else:
                 tplanes.append(clr.irv_convert_to_float(sub, bd, sgn, nlt3))
         if self.cod.mc_trans == 1 and nc >= 3:
@@ -502,9 +539,12 @@ class Encoder:
                 y, cb, cr = clr.rct_forward(tplanes[0].astype(np.int64),
                                             tplanes[1].astype(np.int64),
                                             tplanes[2].astype(np.int64))
-                tplanes[0] = y.astype(np.int32)
-                tplanes[1] = cb.astype(np.int32)
-                tplanes[2] = cr.astype(np.int32)
+                wide = any(self.siz.comps[c].bit_depth > 28
+                           for c in range(3))
+                odt = np.int64 if wide else np.int32
+                tplanes[0] = y.astype(odt)
+                tplanes[1] = cb.astype(odt)
+                tplanes[2] = cr.astype(odt)
             else:
                 y, cb, cr = clr.ict_forward(tplanes[0], tplanes[1],
                                             tplanes[2])
@@ -563,11 +603,14 @@ class Encoder:
                     cb = CodedBlock()
                     mv = int(np.bitwise_or.reduce(vals[sy, sx].ravel())) \
                         if sub.size else 0
-                    if mv >= (1 << (31 - sb.kmax)):
+                    wide = reversible and sb.kmax >= 31
+                    thresh = 1 << ((63 if wide else 31) - sb.kmax)
+                    if mv >= thresh:
                         cb.missing_msbs = sb.kmax - 1
                         cb.num_passes = 1
-                        cb.data = encode_codeblock(sub, sb.kmax - 1,
-                                                   g.rect.w, g.rect.h)
+                        cb.data = encode_codeblock(
+                            sub, sb.kmax - 1, g.rect.w, g.rect.h,
+                            bits=64 if wide else 32)
                         cb.pass_length[0] = len(cb.data)
                     blocks.append(cb)
                 per_band.append(blocks)

@@ -29,7 +29,7 @@ class MelDecoder:
 
     def _read_byte(self):
         if self.size > 0:
-            d = self.buf[self.pos]
+            d = int(self.buf[self.pos])
             if self.size == 1:
                 d |= 0xF  # last byte shared with VLC: set LSBs
             self.pos += 1
@@ -70,7 +70,7 @@ class RevReader:
     def __init__(self, data, lcup: int, scup: int):
         self.buf = data
         self.pos = lcup - 2
-        d = self.buf[self.pos]
+        d = int(self.buf[self.pos])
         self.pos -= 1
         self.tmp = d >> 4
         self.bits = 4 - (1 if (self.tmp & 7) == 7 else 0)
@@ -79,7 +79,7 @@ class RevReader:
 
     def _read_byte(self):
         if self.size > 0:
-            d = self.buf[self.pos]
+            d = int(self.buf[self.pos])
             self.pos -= 1
             self.size -= 1
         else:
@@ -129,7 +129,7 @@ class FwdReader:
 
     def _read_byte(self):
         if self.size > 0:
-            d = self.buf[self.pos]
+            d = int(self.buf[self.pos])
             self.pos += 1
         else:
             d = self.fill
@@ -138,10 +138,10 @@ class FwdReader:
         self.bits += 8 - self.unstuff
         self.unstuff = 1 if d == 0xFF else 0
 
-    def fetch(self) -> int:
-        while self.bits < 32:
+    def fetch(self, n: int = 32) -> int:
+        while self.bits < n:
             self._read_byte()
-        return self.tmp & 0xFFFFFFFF
+        return self.tmp & ((1 << n) - 1)
 
     def advance(self, n: int):
         self.tmp >>= n
@@ -157,16 +157,21 @@ def decode_codeblock(coded_data: bytes, missing_msbs: int, num_passes: int,
     t = get_tables()
     vlc_tbl0, vlc_tbl1 = t['dec_vlc0'], t['dec_vlc1']
     uvlc_tbl0, uvlc_tbl1 = t['dec_uvlc0'], t['dec_uvlc1']
+    uvlc_bias0 = t['dec_uvlc0_bias']
 
     if num_passes > 1 and lengths2 == 0:
         num_passes = 1
     if num_passes > 3:
         raise ValueError('more than 3 coding passes not supported')
-    if missing_msbs >= 30:
-        raise ValueError('32 bits insufficient for this codeblock')
-    if missing_msbs == 29:
+    # 64-bit sample path (ojph_decode_codeblock64) for >30 bit planes
+    B = 32 if missing_msbs < 30 else 64
+    if missing_msbs >= 62:
+        raise ValueError('64 bits insufficient for this codeblock')
+    if missing_msbs == (29 if B == 32 else 61):
         num_passes = 1
-    p = 30 - missing_msbs
+    p = (30 if B == 32 else 62) - missing_msbs
+    SIGN = B - 1
+    MASK = (1 << B) - 1
     if lengths1 < 2:
         raise ValueError('wrong codeblock length')
 
@@ -182,7 +187,8 @@ def decode_codeblock(coded_data: bytes, missing_msbs: int, num_passes: int,
     # so contexts read past the row end see zeros
     inf = np.zeros((qh, qw + 3), dtype=np.uint32)  # VLC entries per quad
     u_q_arr = np.zeros((qh, qw + 1), dtype=np.uint32)
-    dec = np.zeros((qh * 2, width), dtype=np.uint32)
+    dec = np.zeros((qh * 2, width),
+                   dtype=np.uint32 if B == 32 else np.uint64)
 
     mmsbp2 = missing_msbs + 2
 
@@ -244,9 +250,12 @@ def decode_codeblock(coded_data: bytes, missing_msbs: int, num_passes: int,
                     uvlc_mode += 0x40 if run == -1 else 0
                     if run < 0:
                         run = mel.get_run()
-                uvlc_entry = int(uvlc_tbl0[uvlc_mode + (vlc.fetch() & 0x3F)])
+                u_idx = uvlc_mode + (vlc.fetch() & 0x3F)
+                uvlc_entry = int(uvlc_tbl0[u_idx])
+                u_bias = int(uvlc_bias0[u_idx])
             else:
                 uvlc_entry = int(uvlc_tbl1[uvlc_mode + (vlc.fetch() & 0x3F)])
+                u_bias = 0
             vlc.advance(uvlc_entry & 0x7)
             uvlc_entry >>= 3
             length = uvlc_entry & 0xF  # total suffix length
@@ -259,18 +268,27 @@ def decode_codeblock(coded_data: bytes, missing_msbs: int, num_passes: int,
             u0 = kappa + (uvlc_entry & 7) \
                 + (tmp & (~(0xFF << len0) & 0xFFFFFFFF))
             u1 = kappa + (uvlc_entry >> 3) + (tmp >> len0)
+            if B == 64:
+                # u_q extension for >32 (ojph_block_decoder64.cpp:
+                # 1000-1010, 1122-1132)
+                if (u0 - kappa) - (u_bias & 0x3) > 32:
+                    u0 += (vlc.fetch() & 0xF) << 2
+                    vlc.advance(4)
+                if (u1 - kappa) - (u_bias >> 2) > 32:
+                    u1 += (vlc.fetch() & 0xF) << 2
+                    vlc.advance(4)
             u_q_arr[qy, qx2] = u0
             if second_exists:
                 u_q_arr[qy, qx2 + 1] = u1
 
     # ---- step 2: MagSgn -> sample values --------------------------------
     magsgn = FwdReader(data, 0, lcup - scup, 0xFF)
-    v_n_scratch = np.zeros(qw + 2, dtype=np.uint32)
+    v_n_scratch = np.zeros(qw + 2, dtype=np.uint64 if B == 64 else np.uint32)
 
     for qy in range(qh):
         initial = (qy == 0)
         prev_v_n = 0
-        new_v = np.zeros(qw + 2, dtype=np.uint32)
+        new_v = np.zeros(qw + 2, dtype=np.uint64 if B == 64 else np.uint32)
         for qx in range(qw):
             q_inf = int(inf[qy, qx])
             u_q = int(u_q_arr[qy, qx])
@@ -295,16 +313,16 @@ def decode_codeblock(coded_data: bytes, missing_msbs: int, num_passes: int,
                 val = 0
                 v_n = 0
                 if q_inf & (1 << (4 + bit)):
-                    ms_val = magsgn.fetch()
+                    ms_val = magsgn.fetch(B)
                     m_n = U_q - ((q_inf >> (12 + bit)) & 1)
                     magsgn.advance(m_n)
-                    val = (ms_val << 31) & 0xFFFFFFFF
+                    val = (ms_val << SIGN) & MASK
                     v_n = ms_val & ((1 << m_n) - 1)
                     v_n |= ((q_inf >> (8 + bit)) & 1) << m_n
                     v_n |= 1
                     val |= (v_n + 2) << (p - 1)
-                    val &= 0xFFFFFFFF
-                dec[y, x] = val
+                    val &= MASK
+                dec[y, x] = dec.dtype.type(val)
                 if row == 1:
                     if col == 0:
                         new_v[qx] = prev_v_n | v_n
@@ -318,7 +336,8 @@ def decode_codeblock(coded_data: bytes, missing_msbs: int, num_passes: int,
 
     if num_passes > 1:
         _decode_spp_mrp(data, dec, p, num_passes, lengths1, lengths2,
-                        width, height, inf, stripe_causal)
+                        width, height, inf, stripe_causal,
+                        sign_bit=SIGN)
     return dec
 
 
@@ -354,7 +373,7 @@ def _sig_from_inf(inf: np.ndarray, width: int, height: int) -> np.ndarray:
 
 
 def _decode_spp_mrp(data, dec, p, num_passes, lengths1, lengths2,
-                    width, height, inf, stripe_causal):
+                    width, height, inf, stripe_causal, sign_bit=31):
     """SigProp + MagRef passes (ojph_block_decoder32.cpp:1318-1611)."""
     sig = _sig_from_inf(inf, width, height)
     n_sy = (height + 3) >> 2
@@ -428,7 +447,9 @@ def _decode_spp_mrp(data, dec, p, num_passes, lengths1, lengths2,
                         sample_mask = 0x1111 & col_mask
                         for k in range(4):
                             if new_sig & sample_mask:
-                                dec[y + k, x + i] = ((cwd & 1) << 31) | val
+                                dec[y + k, x + i] = \
+                                    dec.dtype.type(((cwd & 1) << sign_bit)
+                                                   | val)
                                 cwd >>= 1
                                 cnt += 1
                             sample_mask += sample_mask
@@ -462,7 +483,8 @@ def _decode_spp_mrp(data, dec, p, num_passes, lengths1, lengths2,
                                 if sig32 & sample_mask:
                                     sym = cwd & 1
                                     v = ((1 - sym) << (p - 1)) | half
-                                    dec[y + k, x + j] ^= v
+                                    dec[y + k, x + j] ^= \
+                                        dec.dtype.type(v)
                                     cwd >>= 1
                                 sample_mask += sample_mask
                         col_mask <<= 4

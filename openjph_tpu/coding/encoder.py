@@ -155,28 +155,29 @@ class MsEncoder:
 
 
 def _quad_sample(buf: np.ndarray, y: int, x: int, width: int, height: int,
-                 p: int):
+                 p: int, bits: int = 32):
     """(significance, exponent e_q, magsgn value v_n) of one sample."""
     if x >= width or y >= height:
         return 0, 0, 0
     t = int(buf[y, x])
-    val = (t + t) & 0xFFFFFFFF
+    val = (t + t) & ((1 << bits) - 1)
     val >>= p
     val &= ~1
     if val == 0:
         return 0, 0, 0
     val -= 1
-    e_q = val.bit_length()  # 32 - clz(2*mu_p - 1)
+    e_q = val.bit_length()  # B - clz(2*mu_p - 1)
     val -= 1
-    s = val + (t >> 31)     # v_n = 2*(mu_p - 1) + sign
+    s = val + (t >> (bits - 1))  # v_n = 2*(mu_p - 1) + sign
     return 1, e_q, s
 
 
 def encode_codeblock(buf: np.ndarray, missing_msbs: int,
-                     width: int, height: int) -> bytes:
+                     width: int, height: int, bits: int = 32) -> bytes:
     """Encode one codeblock; returns the cleanup segment bytes.
 
-    ``buf`` is a [>=height, >=width] uint32 sign-magnitude array.
+    ``buf`` is a [>=height, >=width] uint32 (or uint64 for the >30
+    bit-plane path, ojph_encode_codeblock64) sign-magnitude array.
     """
     t = get_tables()
     enc_vlc0, enc_vlc1 = t['enc_vlc0'], t['enc_vlc1']
@@ -185,7 +186,7 @@ def encode_codeblock(buf: np.ndarray, missing_msbs: int,
     mel = MelEncoder()
     vlc = VlcEncoder()
     ms = MsEncoder()
-    p = 30 - missing_msbs
+    p = (30 if bits == 32 else 62) - missing_msbs
 
     qw = (width + 1) >> 1
 
@@ -206,10 +207,10 @@ def encode_codeblock(buf: np.ndarray, missing_msbs: int,
             x = x_pair + 2 * k
             if x >= width:
                 break
-            sig0, e0, s0 = _quad_sample(buf, y, x, width, height, p)
-            sig1, e1, s1 = _quad_sample(buf, y + 1, x, width, height, p)
-            sig2, e2, s2 = _quad_sample(buf, y, x + 1, width, height, p)
-            sig3, e3, s3 = _quad_sample(buf, y + 1, x + 1, width, height, p)
+            sig0, e0, s0 = _quad_sample(buf, y, x, width, height, p, bits)
+            sig1, e1, s1 = _quad_sample(buf, y + 1, x, width, height, p, bits)
+            sig2, e2, s2 = _quad_sample(buf, y, x + 1, width, height, p, bits)
+            sig3, e3, s3 = _quad_sample(buf, y + 1, x + 1, width, height, p, bits)
             rho = sig0 | (sig1 << 1) | (sig2 << 2) | (sig3 << 3)
             e_qmax = max(e0, e1, e2, e3)
             quad_data.append(((e0, e1, e2, e3), (s0, s1, s2, s3)))
@@ -287,15 +288,23 @@ def encode_codeblock(buf: np.ndarray, missing_msbs: int,
             vlc.encode(int(uvlc[u_q1 - 2][0]), int(uvlc[u_q1 - 2][1]))
             vlc.encode(int(uvlc[u_q0 - 2][2]), int(uvlc[u_q0 - 2][3]))
             vlc.encode(int(uvlc[u_q1 - 2][2]), int(uvlc[u_q1 - 2][3]))
+            if bits == 64:  # u_q extension (encoder64, :1269-1270)
+                vlc.encode(int(uvlc[u_q0 - 2][4]), int(uvlc[u_q0 - 2][5]))
+                vlc.encode(int(uvlc[u_q1 - 2][4]), int(uvlc[u_q1 - 2][5]))
         elif u_q0 > 2 and u_q1 > 0:
             vlc.encode(int(uvlc[u_q0][0]), int(uvlc[u_q0][1]))
             vlc.encode(u_q1 - 1, 1)
             vlc.encode(int(uvlc[u_q0][2]), int(uvlc[u_q0][3]))
+            if bits == 64:  # (:1277)
+                vlc.encode(int(uvlc[u_q0][4]), int(uvlc[u_q0][5]))
         else:
             vlc.encode(int(uvlc[u_q0][0]), int(uvlc[u_q0][1]))
             vlc.encode(int(uvlc[u_q1][0]), int(uvlc[u_q1][1]))
             vlc.encode(int(uvlc[u_q0][2]), int(uvlc[u_q0][3]))
             vlc.encode(int(uvlc[u_q1][2]), int(uvlc[u_q1][3]))
+            if bits == 64:  # (:1285-1286)
+                vlc.encode(int(uvlc[u_q0][4]), int(uvlc[u_q0][5]))
+                vlc.encode(int(uvlc[u_q1][4]), int(uvlc[u_q1][5]))
 
     e_val[lep + 1] = 0
 
@@ -375,6 +384,9 @@ def encode_codeblock(buf: np.ndarray, missing_msbs: int,
             vlc.encode(int(uvlc[u_q1][0]), int(uvlc[u_q1][1]))
             vlc.encode(int(uvlc[u_q0][2]), int(uvlc[u_q0][3]))
             vlc.encode(int(uvlc[u_q1][2]), int(uvlc[u_q1][3]))
+            if bits == 64:  # u_q extension (encoder64, :1491-1492)
+                vlc.encode(int(uvlc[u_q0][4]), int(uvlc[u_q0][5]))
+                vlc.encode(int(uvlc[u_q1][4]), int(uvlc[u_q1][5]))
 
     mel_bytes, vlc_bytes = terminate_mel_vlc(mel, vlc)
     ms.terminate()

@@ -605,6 +605,8 @@ def read_main_header(buf: bytes) -> MainHeader:
             hdr.header_size = o
             break
         ln = struct.unpack_from('>H', buf, o + 2)[0]
+        if ln < 2 or o + 2 + ln > len(buf):
+            raise ValueError('truncated marker segment in main header')
         body = buf[o + 4: o + 2 + ln]
         if mrk == Marker.SIZ:
             hdr.siz = Siz.from_bytes(body)

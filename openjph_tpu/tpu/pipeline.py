@@ -447,6 +447,9 @@ class TpuDecoder(Decoder):
     """Decoder whose Tier-1 + reconstruction run on the accelerator."""
 
     def decode(self) -> List[np.ndarray]:
+        if self._any_wide_band():
+            # >30 bit planes: 64-bit scalar path (Decoder)
+            return Decoder.decode(self)
         plan = _build_plan(self)
         if plan is not None:
             return self._decode_fast(plan)
@@ -455,6 +458,19 @@ class TpuDecoder(Decoder):
         return self._assemble(
             {st.geom.idx: self.decode_tile(st.geom.idx)
              for st in self.tiles})
+
+    def _any_wide_band(self) -> bool:
+        for st in self.tiles:
+            for c, comp in enumerate(st.geom.comps):
+                if not self.hdr.get_cod(c).is_reversible:
+                    continue
+                for res in comp.resolutions:
+                    for b in range(4):
+                        sb = res.bands[b]
+                        if sb is not None and not sb.empty \
+                                and sb.kmax >= 31:
+                            return True
+        return False
 
     # -- fused fast path ---------------------------------------------------
     _DUMMY = b'\x00\x22'  # minimal well-formed segment for dead lanes

@@ -184,3 +184,123 @@ def write_pfm(path: str, img: np.ndarray, little_endian: bool = True):
         f.write(magic + b'\n%d %d\n%f\n' % (w, h, scale))
         dt = '<f4' if little_endian else '>f4'
         f.write(img[::-1].astype(dt).tobytes())
+
+
+# ---------------------------------------------------------------------------
+# TIFF (baseline, uncompressed) — the reference gates its tif_in/tif_out
+# on libtiff (common/ojph_img_io.h:436-579, OJPH_ENABLE_TIFF_SUPPORT);
+# here a self-contained reader/writer for the same 8/16-bit gray/RGB
+# subset.
+# ---------------------------------------------------------------------------
+
+_TIFF_TYPES = {1: ('B', 1), 3: ('H', 2), 4: ('I', 4)}
+
+
+def read_tiff(path: str) -> np.ndarray:
+    """Read a baseline uncompressed TIFF (gray or RGB, 8/16-bit).
+
+    Returns [H, W] or [H, W, 3] (uint8/uint16)."""
+    import struct
+    data = open(path, 'rb').read()
+    if data[:2] == b'II':
+        e = '<'
+    elif data[:2] == b'MM':
+        e = '>'
+    else:
+        raise ValueError('not a TIFF file')
+    if struct.unpack(e + 'H', data[2:4])[0] != 42:
+        raise ValueError('bad TIFF magic')
+    ifd_off = struct.unpack(e + 'I', data[4:8])[0]
+    n = struct.unpack(e + 'H', data[ifd_off:ifd_off + 2])[0]
+    tags = {}
+    for i in range(n):
+        off = ifd_off + 2 + i * 12
+        tag, typ, cnt = struct.unpack(e + 'HHI', data[off:off + 8])
+        if typ not in _TIFF_TYPES:
+            continue
+        fmt, sz = _TIFF_TYPES[typ]
+        total = sz * cnt
+        if total <= 4:
+            raw = data[off + 8:off + 8 + total]
+        else:
+            voff = struct.unpack(e + 'I', data[off + 8:off + 12])[0]
+            raw = data[voff:voff + total]
+        tags[tag] = list(struct.unpack(e + fmt * cnt, raw))
+    w = tags[256][0]
+    h = tags[257][0]
+    bps = tags.get(258, [1])
+    spp = tags.get(277, [1])[0]
+    comp = tags.get(259, [1])[0]
+    if comp != 1:
+        raise ValueError('only uncompressed TIFF is supported')
+    planar = tags.get(284, [1])[0]
+    if planar != 1:
+        raise ValueError('only chunky TIFF is supported')
+    bits = bps[0]
+    if bits not in (8, 16):
+        raise ValueError('only 8/16-bit TIFF is supported')
+    offs = tags[273]
+    cnts = tags[279]
+    buf = b''.join(data[o:o + c] for o, c in zip(offs, cnts))
+    dt = np.dtype(('u1' if bits == 8 else e + 'u2'))
+    arr = np.frombuffer(buf, dtype=dt, count=h * w * spp)
+    arr = arr.reshape(h, w, spp) if spp > 1 else arr.reshape(h, w)
+    if bits == 16:
+        arr = arr.astype('=u2')
+    return arr
+
+
+def write_tiff(path: str, img: np.ndarray):
+    """Write a baseline uncompressed little-endian TIFF (8/16-bit,
+    gray or RGB)."""
+    import struct
+    img = np.asarray(img)
+    if img.ndim == 2:
+        h, w = img.shape
+        spp = 1
+    else:
+        h, w, spp = img.shape
+    if img.dtype.itemsize == 1:
+        bits = 8
+        payload = img.astype('u1').tobytes()
+    else:
+        bits = 16
+        payload = img.astype('<u2').tobytes()
+    phot = 2 if spp == 3 else 1
+
+    entries = []
+
+    def tag(t, typ, cnt, val):
+        entries.append((t, typ, cnt, val))
+
+    data_off = 8 + 2 + 12 * 10 + 4  # header + IFD (10 tags) + next-IFD
+    bps_off = data_off
+    extra = b''
+    if spp == 3:
+        extra = struct.pack('<3H', bits, bits, bits) + b'\x00\x00'
+        strip_off = bps_off + len(extra)
+    else:
+        strip_off = data_off
+    tag(256, 4, 1, w)
+    tag(257, 4, 1, h)
+    if spp == 3:
+        tag(258, 3, 3, bps_off)
+    else:
+        tag(258, 3, 1, bits)
+    tag(259, 3, 1, 1)
+    tag(262, 3, 1, phot)
+    tag(273, 4, 1, strip_off)
+    tag(277, 3, 1, spp)
+    tag(278, 4, 1, h)
+    tag(279, 4, 1, len(payload))
+    tag(339, 3, 1, 1)  # unsigned
+    out = bytearray()
+    out += b'II*\x00' + struct.pack('<I', 8)
+    out += struct.pack('<H', len(entries))
+    for (t, typ, cnt, val) in entries:
+        out += struct.pack('<HHI', t, typ, cnt)
+        out += struct.pack('<I', val)
+    out += struct.pack('<I', 0)
+    out += extra
+    out += payload
+    open(path, 'wb').write(bytes(out))

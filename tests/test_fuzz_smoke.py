@@ -1,0 +1,16 @@
+"""Deterministic slice of the decode fuzzer (fuzzing/fuzz_decode.py):
+mutated streams must fail only with ValueError/EOFError and resilient
+mode must stay exception-free past header parsing.  The reference
+covers this contract with libFuzzer + OSS-Fuzz (SURVEY.md §4.4)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    'fuzzing'))
+
+
+def test_fuzz_decode_smoke():
+    import fuzz_decode
+    stats = fuzz_decode.run(iterations=120, seed=1234, quiet=True)
+    assert sum(stats.values()) > 0
