@@ -20,6 +20,7 @@ import numpy as np
 from .coding.decoder import decode_codeblock
 from .coding.encoder import encode_codeblock
 from .core import markers as mk
+from .core.message import error as _err, warn as _wrn
 from .core.geometry import (ResolutionGeom, SubbandGeom, TileGeom,
                             build_tile, build_tile_grid)
 from .core.quant import default_irrev_delta, make_irrev_qcd, make_rev_qcd
@@ -137,7 +138,8 @@ class Decoder:
                 if self.resilient:
                     pos += 1
                     continue
-                raise ValueError(f'expected SOT, found {mrk:#06x}')
+                _err(0x00030051, f'expected a tile segment (SOT), found '
+                     f'marker {mrk:#06x}')
             if pos + 14 > n:
                 if self.resilient:
                     break
@@ -167,9 +169,9 @@ class Decoder:
                 # reference skips the tile-part when resilient and
                 # errors otherwise (ojph_codestream_local.cpp:925-950)
                 if sot.isot >= len(self.tiles):
-                    raise ValueError(f'wrong tile index {sot.isot}')
+                    _err(0x00030061, f'wrong tile index {sot.isot}')
                 if payload_end <= pos:
-                    raise ValueError('tile-part header runs past Psot')
+                    _err(0x00030067, 'tile-part header runs past Psot')
                 self._parse_one_tile_part(sot, pos, payload_end - pos)
             except (ValueError, EOFError):
                 if not self.resilient:
@@ -242,19 +244,34 @@ class Decoder:
         skip = min(self.skip_recon, comp.num_decomps)
         top = comp.num_decomps - skip
 
+        kern = cod.kernel
+
         # start from LL of resolution 0
         res0 = comp.resolutions[0]
         plane = self._decode_band(res0.bands[0], st.coded[c][0][0],
                                   reversible, cod.vert_causal, dtype)
         for r in range(1, top + 1):
             res = comp.resolutions[r]
-            bands = []
-            for b in (1, 2, 3):
-                bands.append(self._decode_band(
-                    res.bands[b], st.coded[c][r][b], reversible,
-                    cod.vert_causal, dtype))
-            plane = dwt.inv_dwt2d(plane, bands[0], bands[1], bands[2],
-                                  res.rect.x0, res.rect.y0, reversible)
+
+            def band(b):
+                return self._decode_band(res.bands[b], st.coded[c][r][b],
+                                         reversible, cod.vert_causal,
+                                         dtype)
+
+            # Part-2 DFS: a level may split both ways, one way, or not
+            # at all (resolution::pull_line, ojph_resolution.cpp:713-949)
+            t = res.dwt_type
+            if t == mk.Dfs.BIDIR_DWT:
+                plane = dwt.inv_dwt2d(plane, band(1), band(2), band(3),
+                                      res.rect.x0, res.rect.y0,
+                                      reversible, kern)
+            elif t == mk.Dfs.HORZ_DWT:
+                plane = dwt.inv_atk_1d(plane, band(1),
+                                       (res.rect.x0 & 1) == 0, 1, kern)
+            elif t == mk.Dfs.VERT_DWT:
+                plane = dwt.inv_atk_1d(plane, band(2),
+                                       (res.rect.y0 & 1) == 0, 0, kern)
+            # NO_DWT: pass-through level
         return plane
 
     def decode_tile(self, tile_idx: int) -> List[np.ndarray]:
@@ -301,9 +318,15 @@ class Decoder:
         for c in range(nc):
             # reconstruction size accounts for skipped resolutions
             dx, dy = siz.comps[c].dx, siz.comps[c].dy
-            sk = 1 << min(self.skip_recon,
-                          self.hdr.get_cod(c).num_decomps)
-            fx, fy = dx * sk, dy * sk
+            ccod = self.hdr.get_cod(c)
+            sk = min(self.skip_recon, ccod.num_decomps)
+            cdfs = self.hdr.get_dfs(ccod.dfs_idx) \
+                if ccod.dfs_idx is not None else None
+            # per-axis downsampling: a DFS may skip levels that split
+            # in only one direction (param_dfs::get_res_downsamp)
+            sx, sy = cdfs.get_res_downsamp(sk) if cdfs is not None \
+                else (1 << sk, 1 << sk)
+            fx, fy = dx * sx, dy * sy
             w = -(-siz.xsiz // fx) - (-(-siz.xosiz // fx))
             h = -(-siz.ysiz // fy) - (-(-siz.yosiz // fy))
             bd_c = siz.comps[c].bit_depth
@@ -319,8 +342,8 @@ class Decoder:
                 skip = min(self.skip_recon, comp.num_decomps)
                 res = comp.resolutions[comp.num_decomps - skip]
                 dx, dy = siz.comps[c].dx, siz.comps[c].dy
-                sk = 1 << skip
-                fx, fy = dx * sk, dy * sk
+                sx, sy = comp.res_downsamp(skip)
+                fx, fy = dx * sx, dy * sy
                 ox = res.rect.x0 - (-(-siz.xosiz // fx))
                 oy = res.rect.y0 - (-(-siz.yosiz // fy))
                 full[c][oy:oy + planes[c].shape[0],
@@ -343,7 +366,9 @@ class Encoder:
                  tlm_marker: bool = False,
                  tilepart_div: int = 0,
                  qfactor: Optional[int] = None,
-                 profile: Optional[str] = None):
+                 profile: Optional[str] = None,
+                 atks: List = (),
+                 dfs_list: List[mk.Dfs] = ()):
         if siz.xtsiz == 0 and siz.ytsiz == 0:
             siz.xtsiz = siz.xsiz + siz.xosiz
             siz.ytsiz = siz.ysiz + siz.yosiz
@@ -351,6 +376,26 @@ class Encoder:
         self.cod = cod
         self.cocs = cocs or {}
         self.qccs = qccs or {}
+        self.atks = list(atks)
+        self.dfs_list = list(dfs_list)
+        # resolve Part-2 wavelet kernels / decomposition structures up
+        # front so is_reversible and geometry see them (the read path
+        # does the same in read_main_header)
+        atk_map = {a.index: a for a in self.atks}
+        for c in [cod] + list(self.cocs.values()):
+            if c.wavelet_kern >= 2 and c.atk is None:
+                if c.wavelet_kern not in atk_map:
+                    _err(0x00050131 if c.comp_idx is None else 0x00050132,
+                         f'COD/COC uses ATK kernel {c.wavelet_kern} but '
+                         'no such kernel was supplied')
+                c.atk = atk_map[c.wavelet_kern]
+            if c.dfs_idx is not None:
+                if c.comp_idx is None:
+                    _err(0x000500DB, 'DFS can only be signaled in a COC '
+                         '(the main COD carries the decomposition count)')
+                if not any(d.sdfs == c.dfs_idx for d in self.dfs_list):
+                    _err(0x000500DA, f'COC references DFS index '
+                         f'{c.dfs_idx} but no such marker was supplied')
         self.nlts = list(nlts)
         self.comments = list(comments)
         self.tlm_marker = tlm_marker
@@ -367,7 +412,14 @@ class Encoder:
             elif pf == 'BROADCAST':
                 check_broadcast(vsiz, cod)
             else:
-                raise ValueError(f'unknown profile {profile!r}')
+                _err(0x000300A1, f'unknown or unsupported profile '
+                     f'{profile!r}')
+            if self.tilepart_div & self.TILEPART_R:
+                # 0x000300C1 (IMF) / 0x000300B1 (BROADCAST) warnings
+                _wrn(0x000300C1 if pf == 'IMF' else 0x000300B1,
+                     f'in the {pf} profile, tile part divisions at the '
+                     'component level must be employed, while at the '
+                     'resolution level they are not allowed')
             self.tlm_marker = True
             self.tilepart_div = self.TILEPART_C
         if qfactor is not None:
@@ -375,10 +427,15 @@ class Encoder:
             # every component gets an explicit QCC
             # (param_qcd check_validity, ojph_params.cpp:1375-1407)
             if cod.is_reversible:
-                raise ValueError('qfactor requires the irreversible path')
+                _err(0x00050182, 'qfactor requires the irreversible path')
             if not (1 <= qfactor <= 100):
-                raise ValueError('qfactor must be in 1..100')
+                _err(0x00050181, f'Qfactor must be between 1 and 100, '
+                     f'but was set to {qfactor}')
             from .core.quant import COMP_Y, make_qfactor_qcd
+            if base_delta is not None:
+                # param_qcd::set_irrev_quant (0x00040002)
+                _wrn(0x00040002, 'base_delta (qstep) is ignored, because '
+                     'qfactor is set')
             nc = siz.num_comps
             qcd = make_qfactor_qcd(cod.num_decomps,
                                    siz.comps[0].bit_depth, qfactor,
@@ -392,10 +449,12 @@ class Encoder:
         if qcd is None:
             bd = siz.comps[0].bit_depth
             if cod.is_reversible:
-                qcd = make_rev_qcd(cod.num_decomps, bd, cod.mc_trans == 1)
+                qcd = make_rev_qcd(cod.num_decomps, bd, cod.mc_trans == 1,
+                                   kernel=cod.kernel)
             else:
                 qcd = make_irrev_qcd(cod.num_decomps,
-                                     base_delta or default_irrev_delta(bd))
+                                     base_delta or default_irrev_delta(bd),
+                                     kernel=cod.kernel)
         self.qcd = qcd
         # components whose parameters differ need a QCC
         for c in range(siz.num_comps):
@@ -405,20 +464,29 @@ class Encoder:
             need = (ccod.num_decomps != cod.num_decomps
                     or siz.comps[c].bit_depth != siz.comps[0].bit_depth
                     or siz.comps[c].is_signed != siz.comps[0].is_signed
-                    or ccod.wavelet_kern != cod.wavelet_kern)
+                    or ccod.wavelet_kern != cod.wavelet_kern
+                    or ccod.uses_dfs)
             if need:
                 bd = siz.comps[c].bit_depth
+                cdfs = None
+                if ccod.dfs_idx is not None:
+                    cdfs = next(d for d in self.dfs_list
+                                if d.sdfs == ccod.dfs_idx)
                 if ccod.is_reversible:
                     self.qccs[c] = make_rev_qcd(
                         ccod.num_decomps, bd,
-                        cod.mc_trans == 1 and c < 3, comp_idx=c)
+                        cod.mc_trans == 1 and c < 3, comp_idx=c,
+                        dfs=cdfs, kernel=ccod.kernel)
                 else:
                     self.qccs[c] = make_irrev_qcd(
                         ccod.num_decomps,
-                        base_delta or default_irrev_delta(bd), comp_idx=c)
+                        base_delta or default_irrev_delta(bd),
+                        comp_idx=c, dfs=cdfs, kernel=ccod.kernel)
         self.hdr = mk.MainHeader()
         self.hdr.siz = siz
         self.hdr.cod = cod
+        self.hdr.dfs = self.dfs_list
+        self.hdr.atks = atk_map
         self.hdr.cocs = self.cocs
         self.hdr.qcd = self.qcd
         self.hdr.qccs = self.qccs
@@ -444,11 +512,25 @@ class Encoder:
         if po in (mk.ProgOrder.LRCP, mk.ProgOrder.RLCP) \
                 and div == self.TILEPART_C:
             div |= self.TILEPART_R
-        if po == mk.ProgOrder.RPCL:
+        if po == mk.ProgOrder.RPCL and (div & self.TILEPART_C):
+            _wrn(0x00030021,
+                 'for RPCL progression, having tilepart divisions at the '
+                 'component level means a tilepart for every precinct, '
+                 'which is not supported; component divisions dropped')
             div &= ~self.TILEPART_C
         if po == mk.ProgOrder.PCRL:
+            if div:
+                _wrn(0x00030022,
+                     'for PCRL progression, tilepart divisions at the '
+                     'component or resolution level mean a tile part for '
+                     'every precinct, which is not supported; divisions '
+                     'dropped')
             div = 0
-        if po == mk.ProgOrder.CPRL:
+        if po == mk.ProgOrder.CPRL and (div & self.TILEPART_R):
+            _wrn(0x00030023,
+                 'for CPRL progression, having tilepart divisions at the '
+                 'resolution level means a tile part for every precinct, '
+                 'which is not supported; resolution divisions dropped')
             div &= ~self.TILEPART_R
         return div
 
@@ -492,7 +574,8 @@ class Encoder:
             siz, self.cod, self.qcd,
             cocs=list(self.cocs.values()), qccs=list(self.qccs.values()),
             nlts=self.nlts, comments=self.comments,
-            version_comment=b'OpenJPH-TPU Ver 0.1.0.')
+            version_comment=b'OpenJPH-TPU Ver 0.1.0.',
+            atks=self.atks, dfs_list=self.dfs_list)
         tile_rects = build_tile_grid(siz)
         body = bytearray()
         tlm_pairs = []
@@ -568,17 +651,28 @@ class Encoder:
         cod = self._get_cod(c)
         reversible = cod.is_reversible
         comp = geom.comps[c]
+        kern = cod.kernel
         # analysis pyramid
         band_planes = {}  # (res, band) -> plane
         cur = plane
         for r in range(comp.num_decomps, 0, -1):
             res = comp.resolutions[r]
-            ll, hl, lh, hh = dwt.fwd_dwt2d(cur, res.rect.x0, res.rect.y0,
-                                           reversible)
-            band_planes[(r, 1)] = hl
-            band_planes[(r, 2)] = lh
-            band_planes[(r, 3)] = hh
-            cur = ll
+            t = res.dwt_type
+            if t == mk.Dfs.BIDIR_DWT:
+                ll, hl, lh, hh = dwt.fwd_dwt2d(cur, res.rect.x0,
+                                               res.rect.y0, reversible,
+                                               kern)
+                band_planes[(r, 1)] = hl
+                band_planes[(r, 2)] = lh
+                band_planes[(r, 3)] = hh
+                cur = ll
+            elif t == mk.Dfs.HORZ_DWT:
+                cur, band_planes[(r, 1)] = dwt.fwd_atk_1d(
+                    cur, (res.rect.x0 & 1) == 0, 1, kern)
+            elif t == mk.Dfs.VERT_DWT:
+                cur, band_planes[(r, 2)] = dwt.fwd_atk_1d(
+                    cur, (res.rect.y0 & 1) == 0, 0, kern)
+            # NO_DWT: level contributes no bands
         band_planes[(0, 0)] = cur
 
         per_res = []
@@ -680,7 +774,7 @@ def encode(planes, bit_depth: int = 8, is_signed: bool = False,
     if tileparts:
         tp = tileparts.upper()
         if tp not in ('R', 'C', 'RC', 'CR'):
-            raise ValueError("tileparts must be 'R', 'C', or 'RC'")
+            _err(0x000300F1, "tileparts must be 'R', 'C', or 'RC'")
         tp_div = (Encoder.TILEPART_R if 'R' in tp else 0) \
             | (Encoder.TILEPART_C if 'C' in tp else 0)
     enc = Encoder(siz, cod, base_delta=base_delta, tlm_marker=tlm_marker,

@@ -15,7 +15,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
-from .markers import MainHeader, Cod, Qcd, Siz
+from .markers import Dfs, MainHeader, Cod, Qcd, Siz
 from .types import Rect, ceil_div
 
 
@@ -74,6 +74,11 @@ class ResolutionGeom:
     precincts: List[PrecinctGeom] = field(default_factory=list)
     horz_even: bool = True   # (rect.x0 & 1) == 0
     vert_even: bool = True
+    # Part-2 DFS decomposition of this level (Dfs.BIDIR_DWT for the
+    # conventional transform; resolution::finalize_alloc transform_flags)
+    dwt_type: int = Dfs.BIDIR_DWT
+    horz_trx: bool = True    # HORZ_TRX: this level splits horizontally
+    vert_trx: bool = True    # VERT_TRX
 
     @property
     def num_precincts(self) -> int:
@@ -86,6 +91,14 @@ class TileCompGeom:
     rect: Rect               # component-tile rect
     num_decomps: int
     resolutions: List[ResolutionGeom]  # index r = resolution number
+    dfs: Optional[Dfs] = None          # Part-2 DFS in effect, if any
+
+    def res_downsamp(self, skipped: int) -> Tuple[int, int]:
+        """Extra (x, y) downsampling after skipping resolutions
+        (param_dfs::get_res_downsamp; (2^skip, 2^skip) without DFS)."""
+        if self.dfs is not None:
+            return self.dfs.get_res_downsamp(skipped)
+        return 1 << skipped, 1 << skipped
 
 
 @dataclass
@@ -104,17 +117,22 @@ def band_rect(res: Rect, band_num: int) -> Rect:
 
 
 def _build_subband(rect: Rect, band_num: int, cod: Cod, qcd: Qcd,
-                   res_num: int, reversible: bool) -> SubbandGeom:
+                   res_num: int, reversible: bool,
+                   horz_trx: bool, vert_trx: bool,
+                   dfs: Optional[Dfs] = None,
+                   num_decomps: int = 0) -> SubbandGeom:
     """ojph_subband.cpp:117-221."""
     sb = SubbandGeom(band_num, rect)
     log_ppx, log_ppy = cod.log_precinct_size(res_num)
-    x_off = 1 if res_num > 0 else 0
-    y_off = 1 if res_num > 0 else 0
+    x_off = 1 if horz_trx else 0
+    y_off = 1 if vert_trx else 0
     sb.log_cb_w = min(cod.log_block_w, log_ppx - x_off)
     sb.log_cb_h = min(cod.log_block_h, log_ppy - y_off)
-    sb.kmax = qcd.get_kmax(res_num, band_num)
+    band_idx = dfs.get_subband_idx(num_decomps, res_num, band_num) \
+        if dfs is not None else None
+    sb.kmax = qcd.get_kmax(res_num, band_num, idx=band_idx)
     if not reversible:
-        d = qcd.get_irrev_delta(res_num, band_num)
+        d = qcd.get_irrev_delta(res_num, band_num, idx=band_idx)
         sb.delta = d / float(1 << (31 - sb.kmax))
     if sb.empty:
         return sb
@@ -140,8 +158,8 @@ def _band_precinct_info(sb: SubbandGeom, res: ResolutionGeom) -> None:
     rr = res.rect
     pc_lft = (rr.x0 >> res.log_pp_w) << res.log_pp_w
     pc_top = (rr.y0 >> res.log_pp_h) << res.log_pp_h
-    x_shift = 1 if res.res_num > 0 else 0
-    y_shift = 1 if res.res_num > 0 else 0
+    x_shift = 1 if res.horz_trx else 0
+    y_shift = 1 if res.vert_trx else 0
     bx, by = sb.band_num & 1, sb.band_num >> 1
     coly = 0
     for y in range(res.num_prec_y):
@@ -167,23 +185,60 @@ def _band_precinct_info(sb: SubbandGeom, res: ResolutionGeom) -> None:
 def _build_resolution(res_rect: Rect, res_num: int, cod: Cod, qcd: Qcd,
                       tile_rect: Rect, comp_dx: int, comp_dy: int,
                       reversible: bool,
-                      out: List[Optional[ResolutionGeom]]) -> None:
-    """Recursive construction (ojph_resolution.cpp:240-459), BIDIR DWT."""
+                      out: List[Optional[ResolutionGeom]],
+                      dfs: Optional[Dfs] = None,
+                      num_decomps: int = 0) -> None:
+    """Recursive construction (ojph_resolution.cpp:240-459).  With a
+    Part-2 DFS marker, each level may split both ways (4-way band
+    split), horizontally only (child = low columns, one HL band),
+    vertically only (child = low rows, one LH band), or not at all
+    (child = same rect, no bands)."""
     log_ppx, log_ppy = cod.log_precinct_size(res_num)
     res = ResolutionGeom(res_num, res_rect, [None] * 4, log_ppx, log_ppy)
     res.horz_even = (res_rect.x0 & 1) == 0
     res.vert_even = (res_rect.y0 & 1) == 0
+    ds = Dfs.BIDIR_DWT
+    if dfs is not None and res_num > 0:
+        ds = dfs.get_dwt_type(num_decomps - res_num + 1)
+    res.dwt_type = ds
+    res.horz_trx = res_num > 0 and ds in (Dfs.BIDIR_DWT, Dfs.HORZ_DWT)
+    res.vert_trx = res_num > 0 and ds in (Dfs.BIDIR_DWT, Dfs.VERT_DWT)
     out[res_num] = res
 
+    def recurse(child: Rect, dx: int, dy: int):
+        _build_resolution(child, res_num - 1, cod, qcd, tile_rect,
+                          dx, dy, reversible, out, dfs, num_decomps)
+
+    def subband(rect: Rect, b: int) -> SubbandGeom:
+        return _build_subband(rect, b, cod, qcd, res_num, reversible,
+                              res.horz_trx, res.vert_trx, dfs, num_decomps)
+
     if res_num > 0:
-        ll_rect = band_rect(res_rect, 0)
-        _build_resolution(ll_rect, res_num - 1, cod, qcd, tile_rect,
-                          comp_dx * 2, comp_dy * 2, reversible, out)
-        for b in (1, 2, 3):
-            res.bands[b] = _build_subband(band_rect(res_rect, b), b, cod,
-                                          qcd, res_num, reversible)
+        if ds == Dfs.BIDIR_DWT:
+            recurse(band_rect(res_rect, 0), comp_dx * 2, comp_dy * 2)
+            for b in (1, 2, 3):
+                res.bands[b] = subband(band_rect(res_rect, b), b)
+        elif ds == Dfs.VERT_DWT:
+            # child keeps the full width; one LH-position band (index 2)
+            # (ojph_resolution.cpp:339-362)
+            child = Rect(res_rect.x0, (res_rect.y0 + 1) >> 1,
+                         res_rect.x1, (res_rect.y1 + 1) >> 1)
+            recurse(child, comp_dx, comp_dy * 2)
+            res.bands[2] = subband(
+                Rect(res_rect.x0, res_rect.y0 >> 1,
+                     res_rect.x1, res_rect.y1 >> 1), 2)
+        elif ds == Dfs.HORZ_DWT:
+            # child keeps the full height; one HL-position band (index 1)
+            child = Rect((res_rect.x0 + 1) >> 1, res_rect.y0,
+                         (res_rect.x1 + 1) >> 1, res_rect.y1)
+            recurse(child, comp_dx * 2, comp_dy)
+            res.bands[1] = subband(
+                Rect(res_rect.x0 >> 1, res_rect.y0,
+                     res_rect.x1 >> 1, res_rect.y1), 1)
+        else:  # NO_DWT: pass-through level with no subbands
+            recurse(res_rect, comp_dx, comp_dy)
     else:
-        res.bands[0] = _build_subband(res_rect, 0, cod, qcd, 0, reversible)
+        res.bands[0] = subband(res_rect, 0)
 
     if not res_rect.empty:
         res.num_prec_x = ceil_div(res_rect.x1, 1 << log_ppx) \
@@ -235,8 +290,9 @@ def build_tile(hdr: MainHeader, tile_idx: int, tile_rect: Rect) -> TileGeom:
         crect = Rect(ceil_div(tile_rect.x0, dx), ceil_div(tile_rect.y0, dy),
                      ceil_div(tile_rect.x1, dx), ceil_div(tile_rect.y1, dy))
         nd = cod.num_decomps
+        dfs = hdr.get_dfs(cod.dfs_idx) if cod.dfs_idx is not None else None
         res_list: List[Optional[ResolutionGeom]] = [None] * (nd + 1)
         _build_resolution(crect, nd, cod, qcd, tile_rect, dx, dy,
-                          cod.is_reversible, res_list)
-        comps.append(TileCompGeom(c, crect, nd, res_list))
+                          cod.is_reversible, res_list, dfs, nd)
+        comps.append(TileCompGeom(c, crect, nd, res_list, dfs))
     return TileGeom(tile_idx, tile_rect, comps)

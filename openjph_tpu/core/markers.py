@@ -16,6 +16,9 @@ from dataclasses import dataclass, field
 from enum import IntEnum
 from typing import Dict, List, Optional, Tuple
 
+from .atk import AtkKernel, builtin_kernel
+from .message import error as _err, warn as _warn
+
 
 class Marker(IntEnum):
     SOC = 0xFF4F
@@ -134,7 +137,11 @@ class Siz:
         # body excludes the marker and Lsiz
         rsiz, o = _u16(body, 0)
         if (rsiz & RSIZ_HT_FLAG) == 0:
-            raise ValueError('Rsiz bit 14 not set: not an HTJ2K (JPH) file')
+            _err(0x00050044, 'Rsiz bit 14 is not set (this is not a '
+                 'JPH file)')
+        if (rsiz & 0x8000) != 0 and (rsiz & 0xD5F) != 0:
+            # ojph_params.cpp:868-870
+            _warn(0x00050001, 'Rsiz in SIZ has unimplemented fields')
         vals = struct.unpack_from('>IIIIIIII', body, o)
         o += 32
         csiz, o = _u16(body, o)
@@ -144,7 +151,9 @@ class Siz:
             dx, o = _u8(body, o)
             dy, o = _u8(body, o)
             if dx == 0 or dy == 0:
-                raise ValueError('zero XRsiz/YRsiz in SIZ')
+                # ojph_params.cpp:918-921 (0x00050055/0x00050056)
+                _err(0x00050055 if dx == 0 else 0x00050056,
+                     'wrong SIZ XRsiz/YRsiz value of 0')
             comps.append(CompInfo((ssiz & 0x7F) + 1, (ssiz & 0x80) != 0,
                                   dx, dy))
         return cls(rsiz, *vals, comps=comps)
@@ -167,9 +176,11 @@ class Cap:
     def from_bytes(cls, body: bytes) -> 'Cap':
         pcap, o = _u32(body, 0)
         if pcap & 0xFFFDFFFF:
-            raise ValueError('CAP Pcap has unsupported options')
+            _err(0x00050063,
+                 'Pcap in CAP has options that are not supported')
         if (pcap & 0x00020000) == 0:
-            raise ValueError('CAP Pcap^15 not set; not a JPH file')
+            _err(0x00050064, 'Pcap should have its 15th MSB set, Pcap^15; '
+                 'this is not a JPH file')
         n = bin(pcap).count('1')
         ccap = []
         for _ in range(n):
@@ -196,6 +207,11 @@ class Cod:
     wavelet_kern: int = DWT_REV53
     precinct_sizes: List[int] = field(default_factory=list)  # PPx | PPy<<4
     comp_idx: Optional[int] = None  # None for COD, component index for COC
+    dfs_idx: Optional[int] = None   # Part-2 DFS index (COC only; signaled
+    #                                 by num_decomp bit 0x80, T.801 A.6.5 /
+    #                                 param_cod::is_dfs_defined)
+    atk: Optional[AtkKernel] = None  # resolved wavelet kernel (ATK markers
+    #                                  for wavelet_kern >= 2)
 
     @property
     def uses_precincts(self) -> bool:
@@ -211,7 +227,19 @@ class Cod:
 
     @property
     def is_reversible(self) -> bool:
+        if self.atk is not None:
+            return self.atk.reversible
         return self.wavelet_kern == DWT_REV53
+
+    @property
+    def kernel(self) -> AtkKernel:
+        """The lifting kernel in effect (param_cod::access_atk)."""
+        return self.atk if self.atk is not None \
+            else builtin_kernel(self.wavelet_kern)
+
+    @property
+    def uses_dfs(self) -> bool:
+        return self.dfs_idx is not None
 
     @property
     def vert_causal(self) -> bool:
@@ -241,7 +269,9 @@ class Cod:
             else:
                 lcod = 10 + len(pp)
                 head = struct.pack('>HHH', Marker.COC, lcod, self.comp_idx)
-            return head + struct.pack('>BBBBBB', self.scod, self.num_decomps,
+            nd_byte = self.num_decomps if self.dfs_idx is None \
+                else 0x80 | (self.dfs_idx & 0xF)
+            return head + struct.pack('>BBBBBB', self.scod, nd_byte,
                                       self.log_block_w - 2,
                                       self.log_block_h - 2,
                                       self.block_style,
@@ -264,8 +294,9 @@ class Cod:
             for i in range(nd + 1):
                 v, o = _u8(body, o)
                 if i and ((v & 0xF) == 0 or (v >> 4) == 0):
-                    raise ValueError('precinct size must be > 1 except at '
-                                     'the coarsest resolution')
+                    _err(0x0005007F, 'precinct width or height for '
+                         'resolutions other than the coarsest must be '
+                         'larger than 1')
                 cod.precinct_sizes.append(v)
         return cod
 
@@ -278,20 +309,35 @@ class Cod:
         else:
             cidx, o = _u16(body, o)
         scod, o = _u8(body, o)
+        if scod & 0xFE:
+            # only bit 0 (precincts defined) is meaningful in Scoc
+            # (ojph_params.cpp, 0x00050011)
+            _warn(0x00050011,
+                  'unsupported options in Scoc field of the COC segment')
         nd, o = _u8(body, o)
         bw, o = _u8(body, o)
         bh, o = _u8(body, o)
         bs, o = _u8(body, o)
         wk, o = _u8(body, o)
+        dfs_idx = None
+        if nd & 0x80:
+            # DFS signaled: low nibble is the DFS marker index and the
+            # decomposition count comes from the main COD
+            # (param_cod::is_dfs_defined/get_num_decompositions,
+            # ojph_params_local.h:504-519,613-618)
+            dfs_idx = nd & 0xF
+            nd = main.num_decomps
         coc = cls(scod, main.prog_order, main.num_layers, main.mc_trans,
-                  nd, bw + 2, bh + 2, bs, wk, comp_idx=cidx)
+                  nd, bw + 2, bh + 2, bs, wk, comp_idx=cidx,
+                  dfs_idx=dfs_idx)
         coc._validate()
         if scod & 1:
             for i in range(nd + 1):
                 v, o = _u8(body, o)
                 if i and ((v & 0xF) == 0 or (v >> 4) == 0):
-                    raise ValueError('precinct size must be > 1 except at '
-                                     'the coarsest resolution')
+                    _err(0x0005007F, 'precinct width or height for '
+                         'resolutions other than the coarsest must be '
+                         'larger than 1')
                 coc.precinct_sizes.append(v)
         return coc
 
@@ -301,7 +347,9 @@ class Cod:
                 or self.log_block_w + self.log_block_h > 12
                 or (self.block_style & 0x40) != 0x40
                 or (self.block_style & 0xB7) != 0x00):
-            raise ValueError('wrong/unsupported settings in COD/COC SPcod')
+            _err(0x0005007E,
+                 'wrong or unsupported settings in a COD/COC SPcod '
+                 'parameter')
 
 
 @dataclass
@@ -328,9 +376,14 @@ class Qcd:
     def num_subbands(self) -> int:
         return len(self.spqcd)
 
-    def get_kmax(self, resolution: int, subband: int) -> int:
-        """Kmax = maximum magnitude bits (ojph_params.cpp:1715-1748)."""
-        idx = (resolution - 1) * 3 + subband if resolution else 0
+    def get_kmax(self, resolution: int, subband: int,
+                 idx: Optional[int] = None) -> int:
+        """Kmax = maximum magnitude bits (ojph_params.cpp:1715-1748).
+
+        ``idx`` overrides the subband index for Part-2 DFS band layouts
+        (param_dfs::get_subband_idx)."""
+        if idx is None:
+            idx = (resolution - 1) * 3 + subband if resolution else 0
         idx = min(idx, self.num_subbands - 1)
         style = self.quant_style
         if style == 0:
@@ -339,7 +392,7 @@ class Qcd:
         elif style == 2:
             nb = (self.spqcd[idx] >> 11) - 1
         else:
-            raise ValueError('unsupported quantization style')
+            _err(0x00050088, 'wrong Sqcd value in QCD/QCC marker')
         return nb + self.num_guard_bits
 
     def get_largest_kmax(self) -> int:
@@ -353,12 +406,14 @@ class Qcd:
                 nb = max(nb, (v >> 11) - 1)
         return nb + self.num_guard_bits
 
-    def get_irrev_delta(self, resolution: int, subband: int) -> float:
+    def get_irrev_delta(self, resolution: int, subband: int,
+                        idx: Optional[int] = None) -> float:
         """Base quantization delta (ojph_params.cpp:1650-1681)."""
         if self.quant_style != 2:
-            raise ValueError('reversible Sqcd for irreversible transform')
+            _err(0x0005008C, 'reversible Sqcd for irreversible transform')
         gain = (1.0, 2.0, 2.0, 4.0)[subband]
-        idx = (resolution - 1) * 3 + subband if resolution else 0
+        if idx is None:
+            idx = (resolution - 1) * 3 + subband if resolution else 0
         idx = min(idx, self.num_subbands - 1)
         eps = self.spqcd[idx] >> 11
         mantissa = float((self.spqcd[idx] & 0x7FF) | 0x800) * gain
@@ -388,7 +443,7 @@ class Qcd:
         elif style == 2:
             payload = b''.join(struct.pack('>H', v) for v in self.spqcd)
         else:
-            raise ValueError('unsupported quantization style')
+            _err(0x00050088, 'wrong Sqcd value in QCD/QCC marker')
         if self.comp_idx is None:
             return struct.pack('>HHB', Marker.QCD, 3 + len(payload),
                                self.sqcd) + payload
@@ -419,9 +474,10 @@ class Qcd:
                 v, o = _u16(body, o)
                 sp.append(v)
         else:
-            raise ValueError('unsupported quantization style in QCD/QCC')
+            _err(0x00050088, 'wrong Sqcd value in QCD/QCC marker')
         if not sp:
-            raise ValueError('QCD/QCC with no quantization information')
+            _err(0x0005008A, 'QCD/QCC marker segment that specifies no '
+                 'quantization information')
         return cls(sqcd, sp, comp_idx)
 
 
@@ -458,7 +514,9 @@ class NltSegment:
         bdnlt, o = _u8(body, o)
         tnlt, o = _u8(body, o)
         if tnlt not in (0, 3):
-            raise ValueError(f'unsupported NLT type {tnlt}')
+            # ojph_params.cpp nonlinearity check (0x00050171)
+            _err(0x00050171, f'nonlinearities other than type 0 and 3 are '
+                 f'not supported; found type {tnlt}')
         return cls(cnlt, bdnlt, tnlt)
 
 
@@ -499,7 +557,7 @@ class Sot:
         tpsot, o = _u8(body, o)
         tnsot, o = _u8(body, o)
         if isot == 0xFFFF:
-            raise ValueError('SOT tile index cannot be 0xFFFF')
+            _err(0x00050094, 'tile index in SOT marker cannot be 0xFFFF')
         return cls(isot, psot, tpsot, tnsot)
 
 
@@ -518,7 +576,12 @@ class Tlm:
 
 @dataclass
 class Dfs:
-    """DFS marker (T.801); ojph_params.cpp:2530-2660."""
+    """DFS marker (T.801 A.3.5); ojph_params.cpp:2530-2660.
+
+    ``ddfs`` packs one 2-bit decomposition type per sub-level, MSB
+    first; levels beyond ``ids`` repeat the last entry
+    (param_dfs::get_dwt_type clamps decomp_level to Ids).
+    """
     sdfs: int = 0
     ids: int = 0
     ddfs: bytes = b''
@@ -530,12 +593,69 @@ class Dfs:
         d = decomp_level - 1
         return (self.ddfs[d >> 2] >> (6 - 2 * (d & 3))) & 0x3
 
+    def get_subband_idx(self, num_decomps: int, resolution: int,
+                        subband: int) -> int:
+        """Index into the QCD/QCC subband array for (resolution, band)
+        (param_dfs::get_subband_idx, ojph_params.cpp:2550-2572)."""
+        ns = (0, 3, 1, 1)  # bands contributed per decomposition type
+        idx = 0
+        if resolution > 0:
+            i = 1
+            while i < resolution:
+                idx += ns[self.get_dwt_type(num_decomps - i + 1)]
+                i += 1
+            t = self.get_dwt_type(num_decomps - i + 1)
+            idx += subband
+            if t == self.VERT_DWT and subband == 2:
+                idx -= 1
+        return idx
+
+    def get_res_downsamp(self, skipped_resolutions: int):
+        """(x, y) downsampling factor after skipping resolutions
+        (param_dfs::get_res_downsamp, ojph_params.cpp:2575-2594)."""
+        fx = fy = 1
+        for level in range(1, skipped_resolutions + 1):
+            t = self.get_dwt_type(level)
+            if t == self.BIDIR_DWT:
+                fx *= 2
+                fy *= 2
+            elif t == self.HORZ_DWT:
+                fx *= 2
+            elif t == self.VERT_DWT:
+                fy *= 2
+        return fx, fy
+
+    def to_bytes(self) -> bytes:
+        n = (self.ids + 3) >> 2
+        return struct.pack('>HHHB', Marker.DFS, 5 + n, self.sdfs,
+                           self.ids) + self.ddfs[:n]
+
+    @classmethod
+    def from_types(cls, sdfs: int, types) -> 'Dfs':
+        """Build from a list of per-level decomposition types (level 1 =
+        finest resolution first)."""
+        if not 0 <= sdfs <= 15:
+            _err(0x000500D3, f'the DFS-Sdfs parameter is {sdfs}, which is '
+                 'larger than the permissible 15')
+        ids = len(types)
+        if not 1 <= ids <= 32:
+            _err(0x000500D8, 'the value of the Ids member in the DFS '
+                 'marker segment must be in 1..32')
+        buf = bytearray((ids + 3) >> 2)
+        for i, t in enumerate(types):
+            if not 0 <= t <= 3:
+                _err(0x000500D9, f'bad DFS decomposition type {t}')
+            buf[i >> 2] |= t << (6 - 2 * (i & 3))
+        return cls(sdfs, ids, bytes(buf))
+
 
 def write_main_header(siz: Siz, cod: Cod, qcd: Qcd,
                       cocs: List[Cod] = (), qccs: List[Qcd] = (),
                       nlts: List[NltSegment] = (),
                       comments: List[Com] = (),
-                      version_comment: bytes = b'') -> bytes:
+                      version_comment: bytes = b'',
+                      atks: List[AtkKernel] = (),
+                      dfs_list: List[Dfs] = ()) -> bytes:
     """Serialize SOC + main header markers in the reference's order
     (ojph_codestream_local.cpp:643-703)."""
     out = struct.pack('>H', Marker.SOC)
@@ -543,6 +663,9 @@ def write_main_header(siz: Siz, cod: Cod, qcd: Qcd,
     # CAP depends on COD/QCD (param_cap::check_validity,
     # ojph_params_local.h:929-945)
     ccap0 = 0
+    # the reference's CAP flags "irreversible" for anything other than
+    # the hardwired 5/3, including reversible ATK kernels
+    # (param_cap::check_validity, ojph_params_local.h:929-945)
     if cod.wavelet_kern != DWT_REV53:
         ccap0 |= 0x0020
     magb = qcd.get_magb()
@@ -551,6 +674,10 @@ def write_main_header(siz: Siz, cod: Cod, qcd: Qcd,
     bp = 0 if magb <= 8 else (magb - 8 if magb < 28 else 13 + (magb >> 2))
     ccap0 |= bp
     out += Cap(ccap=(ccap0,)).to_bytes()
+    for atk in atks:
+        out += atk.to_bytes()
+    for dfs in dfs_list:
+        out += dfs.to_bytes()
     out += cod.to_bytes()
     for coc in cocs:
         if coc.comp_idx is not None and coc.comp_idx < siz.num_comps:
@@ -579,6 +706,7 @@ class MainHeader:
         self.qccs: Dict[int, Qcd] = {}
         self.nlt = Nlt()
         self.dfs: List[Dfs] = []
+        self.atks: Dict[int, AtkKernel] = {}
         self.comments: List[Com] = []
         self.header_size = 0  # offset of first SOT
 
@@ -587,6 +715,12 @@ class MainHeader:
 
     def get_qcd(self, comp: int) -> Qcd:
         return self.qccs.get(comp, self.qcd)
+
+    def get_dfs(self, idx: int) -> Optional[Dfs]:
+        for d in self.dfs:
+            if d.sdfs == idx:
+                return d
+        return None
 
 
 def read_main_header(buf: bytes) -> MainHeader:
@@ -597,7 +731,8 @@ def read_main_header(buf: bytes) -> MainHeader:
     """
     hdr = MainHeader()
     if len(buf) < 4 or struct.unpack_from('>H', buf, 0)[0] != Marker.SOC:
-        raise ValueError('codestream does not start with SOC')
+        _err(0x00030041, 'error reading marker: the codestream does '
+             'not start with SOC')
     o = 2
     while o + 4 <= len(buf):
         mrk = struct.unpack_from('>H', buf, o)[0]
@@ -606,7 +741,8 @@ def read_main_header(buf: bytes) -> MainHeader:
             break
         ln = struct.unpack_from('>H', buf, o + 2)[0]
         if ln < 2 or o + 2 + ln > len(buf):
-            raise ValueError('truncated marker segment in main header')
+            _err(0x00030041, 'error reading marker: truncated marker '
+                 'segment in main header')
         body = buf[o + 4: o + 2 + ln]
         if mrk == Marker.SIZ:
             hdr.siz = Siz.from_bytes(body)
@@ -629,12 +765,40 @@ def read_main_header(buf: bytes) -> MainHeader:
             hdr.comments.append(Com.from_bytes(body))
         elif mrk in (Marker.DFS,):
             sdfs = (body[0] << 8) | body[1]
+            if sdfs > 15:
+                _err(0x000500D3, f'the DFS-Sdfs parameter is {sdfs}, '
+                                 'permissible 15')
             ids = body[2]
             hdr.dfs.append(Dfs(sdfs, ids, bytes(body[3:3 + ((ids + 3) >> 2)])))
-        # TLM/PLM/PPM/CRG/PRF/CPF/ATK: skipped (TLM is advisory on read)
+        elif mrk == Marker.ATK:
+            atk = AtkKernel.from_bytes(body)
+            if atk.index in hdr.atks:
+                _err(0x000500F3, f'repeated ATK marker index '
+                     f'{atk.index}; it would be unclear which segment '
+                     'to employ')
+            hdr.atks[atk.index] = atk
+        # TLM/PLM/PPM/CRG/PRF/CPF: skipped (TLM is advisory on read)
         o += 2 + ln
     else:
-        raise ValueError('no SOT marker found in codestream')
+        _err(0x00030051, 'file ended before finding a tile segment '
+             '(no SOT marker)')
     if hdr.siz is None or hdr.cod is None or hdr.qcd is None:
-        raise ValueError('main header is missing SIZ, COD, or QCD')
+        _err(0x00030052, 'markers error: SIZ, COD and QCD are required')
+    # resolve wavelet kernels (param_cod::update_atk,
+    # ojph_params.cpp:1278-1298) and DFS references
+    for c in [hdr.cod] + list(hdr.cocs.values()):
+        if c.wavelet_kern >= 2:
+            if c.wavelet_kern not in hdr.atks:
+                # 0x00050131 (COD) / 0x00050132 (COC),
+                # ojph_params.cpp update_atk
+                _err(0x00050131 if c.comp_idx is None else 0x00050132,
+                     f'a COD/COC segment employs the DWT kernel atk = '
+                     f'{c.wavelet_kern}, but a corresponding ATK segment '
+                     'cannot be found')
+            c.atk = hdr.atks[c.wavelet_kern]
+        if c.dfs_idx is not None and hdr.get_dfs(c.dfs_idx) is None:
+            _err(0x000500DA,
+                 f'COC specifies the use of a DFS marker with index '
+                 f'{c.dfs_idx}, but there is no such marker in the main '
+                 'header')
     return hdr

@@ -11,6 +11,7 @@ import math
 from typing import List
 
 from .markers import Qcd, DWT_REV53
+from .message import error as _err
 
 # sqrt of energy gain of the synthesis cascade, per decomposition count.
 # index = number of decompositions (0..33)
@@ -66,25 +67,121 @@ def _f32(x: float) -> float:
     return _s.unpack('f', _s.pack('f', x))[0]
 
 
+def _atk_bibo_gains(kernel, levels: int):
+    """Linearized per-level BIBO gains (max absolute row sums) of the
+    analysis cascade of an arbitrary lifting kernel.
+
+    The reference ships precomputed tables for the two Part-1 kernels
+    (ojph_params.cpp:497-595) and has no ATK write path; for our write
+    path with custom kernels the exponents must bound the actual
+    cascade gain, so we measure it: apply the linearized analysis
+    (reversible step (a, b, e) ~ a/2^e, rounding absorbed by the guard
+    bits) to an identity matrix and take row-wise L1 norms.  Returns
+    (gl, gh) with gl[d] the low-chain gain after d levels and gh[d-1]
+    the high band gain at depth d, matching the reference's table
+    indexing."""
+    import numpy as _np
+    from .atk import AtkKernel
+    from ..ops.dwt import fwd_atk_1d
+    if kernel.reversible:
+        steps = tuple(a / float(1 << e) for (a, b, e) in kernel.steps)
+    else:
+        steps = tuple(float(a) for a in kernel.steps)
+    lin = AtkKernel(index=max(2, kernel.index), reversible=False,
+                    steps=steps, K=float(kernel.K), coeff_type=2)
+    n = max(64, 1 << (levels + 4))
+    T = _np.eye(n, dtype=_np.float64)
+    gl: List[float] = [1.0]
+    gh: List[float] = []
+    for _ in range(levels):
+        L, H = fwd_atk_1d(T, True, 0, lin)
+        gl.append(float(_np.abs(L).sum(axis=1).max()))
+        gh.append(float(_np.abs(H).sum(axis=1).max()))
+        T = L
+    return gl, gh
+
+
+def _atk_energy_gains(kernel, levels: int):
+    """Per-level sqrt energy gains of the synthesis basis functions of
+    an arbitrary irreversible kernel (the reference's
+    sqrt_energy_gains tables, ojph_params.cpp:400-460, measured
+    instead of tabulated): the maximum L2 norm over synthesis impulse
+    responses, used to scale the per-band quantization delta."""
+    import numpy as _np
+    from ..ops.dwt import inv_atk_1d
+    n = max(64, 1 << (levels + 4))
+    cur = _np.eye(n, dtype=_np.float64)  # maps level-d L coeffs -> signal
+    gl: List[float] = [1.0]
+    gh: List[float] = []
+    for _ in range(levels):
+        m = cur.shape[1]
+        ml, mh = (m + 1) >> 1, m >> 1
+        syn_l = inv_atk_1d(_np.eye(ml), _np.zeros((mh, ml)), True, 0,
+                           kernel)
+        syn_h = inv_atk_1d(_np.zeros((ml, mh)), _np.eye(mh), True, 0,
+                           kernel)
+        full_l = cur @ syn_l
+        full_h = cur @ syn_h
+        gl.append(float(_np.sqrt((full_l ** 2).sum(axis=0)).max()))
+        gh.append(float(_np.sqrt((full_h ** 2).sum(axis=0)).max()))
+        cur = full_l
+    return gl, gh
+
+
+def _level_types(num_decomps: int, dfs) -> List[int]:
+    """Per-resolution (coarsest-above-LL first) decomposition types, as
+    param_dfs::get_subband_idx orders SPqcd entries; all-BIDIR without a
+    DFS marker."""
+    from .markers import Dfs
+    if dfs is None:
+        return [Dfs.BIDIR_DWT] * num_decomps
+    # resolution r uses decomposition level num_decomps - r + 1 = d,
+    # and the d-index doubles as the gain-table depth below
+    return [dfs.get_dwt_type(d) for d in range(num_decomps, 0, -1)]
+
+
 def make_rev_qcd(num_decomps: int, bit_depth: int, employs_rct: bool,
-                 comp_idx=None) -> Qcd:
-    """Reversible quantization exponents (ojph_params.cpp:1495-1539)."""
+                 comp_idx=None, dfs=None, kernel=None) -> Qcd:
+    """Reversible quantization exponents (ojph_params.cpp:1495-1539).
+
+    With a Part-2 ``dfs``, each level contributes the band entries its
+    decomposition type produces (3 for BIDIR, 1 for HORZ/VERT, 0 for
+    NO_DWT); the bidirectional BIBO gain at the same depth is a safe
+    upper bound for the partial cascades (the reference has no DFS
+    write path — this layout matches its param_dfs::get_subband_idx
+    read order).  With a custom reversible ``kernel`` (Part-2 ATK) the
+    gains are measured from the actual cascade instead of the 5/3
+    tables."""
+    from .markers import Dfs
     B = bit_depth + (1 if employs_rct else 0)
+    if kernel is not None and kernel.index >= 2:
+        gl, gh = _atk_bibo_gains(kernel, num_decomps)
+    else:
+        gl = [_f32(v) for v in BIBO_GAIN_53_L[:num_decomps + 1]]
+        gh = [_f32(v) for v in BIBO_GAIN_53_H[:num_decomps]]
     exps: List[int] = []
-    bibo_l = _f32(BIBO_GAIN_53_L[num_decomps])
-    X = math.ceil(math.log2(bibo_l * bibo_l))
+    X = math.ceil(math.log2(gl[num_decomps] * gl[num_decomps]))
     exps.append(B + X)
-    for d in range(num_decomps, 0, -1):
-        bl = _f32(BIBO_GAIN_53_L[d])
-        bh = _f32(BIBO_GAIN_53_H[d - 1])
+    types = _level_types(num_decomps, dfs)
+    for i, d in enumerate(range(num_decomps, 0, -1)):
+        t = types[i]
+        if t == Dfs.NO_DWT:
+            continue
+        bl = gl[d]
+        bh = gh[d - 1]
         X = math.ceil(math.log2(bh * bl))
-        exps.append(B + X)
-        exps.append(B + X)
-        X = math.ceil(math.log2(bh * bh))
-        exps.append(B + X)
+        if t == Dfs.BIDIR_DWT:
+            exps.append(B + X)
+            exps.append(B + X)
+            X = math.ceil(math.log2(bh * bh))
+            exps.append(B + X)
+        else:  # HORZ/VERT: one mixed low/high band
+            exps.append(B + X)
     max_bx = max(exps)
     if max_bx > 38:
-        raise ValueError(f'required precision {max_bx} bits exceeds 38')
+        _err(0x00050151, 'the specified combination of bit_depth, colour '
+             'transform, and type of wavelet transform requires more than '
+             f'38 bits; it requires {max_bx} bits')
     guard_bits = max(1, max_bx - 31)
     sqcd = guard_bits << 5
     spqcd = [((e - guard_bits) & 0xFF) << 3 for e in exps]
@@ -103,22 +200,46 @@ def _encode_spqcd(delta: float) -> int:
 
 
 def make_irrev_qcd(num_decomps: int, base_delta: float,
-                   comp_idx=None) -> Qcd:
+                   comp_idx=None, dfs=None, kernel=None) -> Qcd:
     """Irreversible (9/7) quantization steps (ojph_params.cpp:1542-1599).
 
     Visual weighting (Qfactor) is not applied here; see make_qfactor_qcd.
-    """
+    With a Part-2 ``dfs``, entries follow the DFS band layout (see
+    make_rev_qcd).  With a custom irreversible ``kernel`` (Part-2 ATK)
+    the deltas are scaled by the measured synthesis energy gains, and
+    the guard bits bound the measured analysis BIBO gain so no
+    coefficient overflows the Kmax range (samples are normalized to
+    [-0.5, 0.5); the representable magnitude is ~2^(guard-1))."""
+    from .markers import Dfs
+    custom = kernel is not None and kernel.index >= 2
     guard_bits = 1
+    if custom:
+        el, eh = _atk_energy_gains(kernel, num_decomps)
+        bl, bh = _atk_bibo_gains(kernel, num_decomps)
+        max_g = max([bl[num_decomps] ** 2]
+                    + [bh[d - 1] * bl[d] for d in range(1, num_decomps + 1)]
+                    + [bh[d - 1] ** 2 for d in range(1, num_decomps + 1)])
+        guard_bits = min(7, max(1, math.ceil(math.log2(max_g))))
+    else:
+        el = [_f32(v) for v in SQRT_ENERGY_GAIN_97_L[:num_decomps + 1]]
+        eh = [_f32(v) for v in SQRT_ENERGY_GAIN_97_H[:num_decomps]]
     sqcd = (guard_bits << 5) | 0x2
     sp: List[int] = []
-    gl = _f32(SQRT_ENERGY_GAIN_97_L[num_decomps])
+    gl = el[num_decomps]
     sp.append(_encode_spqcd(base_delta / (gl * gl)))
-    for d in range(num_decomps, 0, -1):
-        gl = _f32(SQRT_ENERGY_GAIN_97_L[d])
-        gh = _f32(SQRT_ENERGY_GAIN_97_H[d - 1])
-        sp.append(_encode_spqcd(base_delta / (gh * gl)))
-        sp.append(_encode_spqcd(base_delta / (gl * gh)))
-        sp.append(_encode_spqcd(base_delta / (gh * gh)))
+    types = _level_types(num_decomps, dfs)
+    for i, d in enumerate(range(num_decomps, 0, -1)):
+        t = types[i]
+        if t == Dfs.NO_DWT:
+            continue
+        gl = el[d]
+        gh = eh[d - 1]
+        if t == Dfs.BIDIR_DWT:
+            sp.append(_encode_spqcd(base_delta / (gh * gl)))
+            sp.append(_encode_spqcd(base_delta / (gl * gh)))
+            sp.append(_encode_spqcd(base_delta / (gh * gh)))
+        else:
+            sp.append(_encode_spqcd(base_delta / (gh * gl)))
     return Qcd(sqcd, sp, comp_idx)
 
 
@@ -209,7 +330,8 @@ def make_qfactor_qcd(num_decomps: int, bit_depth: int, qfactor: int,
     elif sampling == (1, 1):
         fmt = '444'
     else:
-        raise ValueError('Qfactor needs 4:4:4/4:2:2/4:2:0 sampling')
+        _err(0x00050161, 'Qfactor can only be used on components with '
+             '4:4:4, 4:2:2 or 4:2:0 sampling')
     g_c = _f32(_VW_GAIN[ctype])
     delta_ref, power = _qfactor_delta_ref(qfactor, bit_depth)
     weights = _VW_Y if ctype == COMP_Y else _VW[(ctype, fmt)]

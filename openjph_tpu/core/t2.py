@@ -14,6 +14,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from .bitio import BitReader, BitWriter
+from .message import error as _err
 from .geometry import ResolutionGeom, TileGeom
 from .types import ceil_div
 
@@ -176,7 +177,7 @@ def encode_precinct(res: ResolutionGeom, prec_idx: int,
                 elif cb.num_passes == 1:
                     bw.put_bit(0)
                 else:
-                    raise ValueError('unsupported num_passes')
+                    _err(0x000300F2, 'unsupported num_passes')
 
                 # pass lengths: Lblock escape then lengths
                 bits1 = cb.pass_length[0].bit_length()
@@ -350,8 +351,8 @@ def _parse_precinct_py(res: ResolutionGeom, prec_idx: int,
                         lv[ly, lx] = mmsbs
                         fl[fy, fx] = 1
                 if mmsbs > sb.kmax:
-                    raise ValueError('missing msbs larger than Kmax; '
-                                     'likely bitstream corruption')
+                    _err(0x000300F3, 'missing msbs larger than Kmax; '
+                         'likely bitstream corruption')
                 cb.missing_msbs = mmsbs
 
                 # number of passes
@@ -378,16 +379,16 @@ def _parse_precinct_py(res: ResolutionGeom, prec_idx: int,
                 bits = lblock + (num_phld_passes + 1).bit_length() - 1
                 ln = br.read_bits(bits)
                 if ln < 2:
-                    raise ValueError('HT cleanup segment < 2 bytes')
+                    _err(0x000300F4, 'HT cleanup segment < 2 bytes')
                 if ln >= 65535:
-                    raise ValueError('HT cleanup segment >= 65535 bytes')
+                    _err(0x000300F5, 'HT cleanup segment >= 65535 bytes')
                 cb.pass_length[0] = ln
                 if cb.num_passes > 1:
                     bits = lblock + (1 if cb.num_passes > 2 else 0)
                     ln = br.read_bits(bits)
                     if ln >= 2047:
-                        raise ValueError('HT refinement segment >= 2047 '
-                                         'bytes')
+                        _err(0x000300F6,
+                             'HT refinement segment >= 2047 bytes')
                     cb.pass_length[1] = ln
                 touched.append((s, cb))
 
@@ -503,4 +504,4 @@ def precinct_iterator(tile: TileGeom, prog_order: int):
                 yield (c, brr, cursor[(c, brr)])
                 cursor[(c, brr)] += 1
     else:
-        raise ValueError(f'bad progression order {prog_order}')
+        _err(0x00050032, f'improper progression order {prog_order}')

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..core.atk import ATK_IRV97, ATK_REV53, AtkKernel
+
 # 9/7 lifting coefficients and scaling (ojph_params.cpp:2870-2881).
 IRV97_K = np.float32(1.230174104914001)
 IRV97_STEPS = (np.float32(0.443506852043971),   # step 0 (update 2)
@@ -54,110 +56,123 @@ def _rev_step(a: int, b: int, e: int, dst, s0, s1, synthesis: bool):
     return dst - d if synthesis else dst + d
 
 
-def fwd_rev53_1d(x: np.ndarray, even: bool, axis: int):
-    """Forward 5/3 along axis; returns (L, H)."""
+def fwd_atk_1d(x: np.ndarray, even: bool, axis: int, kernel: AtkKernel):
+    """Forward lifting along axis with an arbitrary first-order kernel;
+    returns (L, H).
+
+    Defined as the exact inverse of the reference's synthesis state
+    machine (gen_rev/irv_horz_syn, ojph_transform.cpp:519-600,786-850):
+    synthesis step j updates the L-storage plane for even j and the
+    H-storage plane for odd j, at phase parity even^(j&1); analysis
+    undoes steps Natk-1 .. 0 with the addition form, then applies the
+    storage scaling (L *= 1/K, H *= K).  For even step counts this is
+    identical to the reference's gen_*_horz_ana; for odd counts the
+    reference's own analysis updates the high phase first and is NOT
+    the inverse of its synthesis — what matters for parity is that the
+    oracle's synthesis reconstructs our encoder's output."""
     x = np.moveaxis(x, axis, 0)
     n = x.shape[0]
     if n == 1:
         if even:
             return (np.moveaxis(x, 0, axis),
                     np.moveaxis(x[:0], 0, axis))
-        return (np.moveaxis(x[:0], 0, axis),
-                np.moveaxis(x * 2, 0, axis))
-    lp = x[0::2] if even else x[1::2]
-    hp = x[1::2] if even else x[0::2]
-    cur_even = even
-    for (a, b, e) in reversed(REV53_STEPS):
-        lpe = np.concatenate([lp[:1], lp, lp[-1:]], axis=0)
-        off = 1 if cur_even else 0
-        hw = hp.shape[0]
-        hp = _rev_step(a, b, e, hp, lpe[off:off + hw],
-                       lpe[off + 1:off + 1 + hw], synthesis=False)
-        lp, hp = hp, lp
-        cur_even = not cur_even
-    return np.moveaxis(lp, 0, axis), np.moveaxis(hp, 0, axis)
+        scaled = (x * 2) if kernel.reversible else (x * np.float32(2.0))
+        return np.moveaxis(x[:0], 0, axis), np.moveaxis(scaled, 0, axis)
+    P = [x[0::2] if even else x[1::2],   # L storage
+         x[1::2] if even else x[0::2]]   # H storage
+    for j in range(kernel.num_steps - 1, -1, -1):
+        bidx = j & 1
+        ev_j = even if (j & 1) == 0 else not even
+        B, O = P[bidx], P[1 - bidx]
+        Oe = np.concatenate([O[:1], O, O[-1:]], axis=0)
+        off = 0 if ev_j else 1
+        bw = B.shape[0]
+        s0, s1 = Oe[off:off + bw], Oe[off + 1:off + 1 + bw]
+        if kernel.reversible:
+            a, b, e = kernel.steps[j]
+            P[bidx] = _rev_step(a, b, e, B, s0, s1, synthesis=False)
+        else:
+            P[bidx] = B + np.float32(kernel.steps[j]) * (s0 + s1)
+    if not kernel.reversible:
+        K = np.float32(kernel.K)
+        P[0] = P[0] * (np.float32(1.0) / K)
+        P[1] = P[1] * K
+    return np.moveaxis(P[0], 0, axis), np.moveaxis(P[1], 0, axis)
 
 
-def inv_rev53_1d(L: np.ndarray, H: np.ndarray, even: bool, axis: int):
-    """Inverse 5/3 along axis; returns interleaved signal."""
+def inv_atk_1d(L: np.ndarray, H: np.ndarray, even: bool, axis: int,
+               kernel: AtkKernel):
+    """Inverse lifting along axis (gen_rev_horz_syn32,
+    ojph_transform.cpp:519-600): steps applied 0 .. Natk-1 with the
+    subtraction form; returns the interleaved signal."""
     L = np.moveaxis(L, axis, 0)
     H = np.moveaxis(H, axis, 0)
     n = L.shape[0] + H.shape[0]
     if n == 1:
-        out = L if even else (H >> 1)
+        if even:
+            out = L
+        else:
+            out = (H >> 1) if kernel.reversible else H * np.float32(0.5)
         return np.moveaxis(out, 0, axis)
-    aug, oth = L.copy(), H.copy()
+    if kernel.reversible:
+        aug, oth = L.copy(), H.copy()
+    else:
+        K = np.float32(kernel.K)
+        aug = L * K
+        oth = H * (np.float32(1.0) / K)
     ev = even
-    for (a, b, e) in REV53_STEPS:
+    for s in kernel.steps:
         othe = np.concatenate([oth[:1], oth, oth[-1:]], axis=0)
         off = 0 if ev else 1
         aw = aug.shape[0]
-        aug = _rev_step(a, b, e, aug, othe[off:off + aw],
-                        othe[off + 1:off + 1 + aw], synthesis=True)
+        if kernel.reversible:
+            a, b, e = s
+            aug = _rev_step(a, b, e, aug, othe[off:off + aw],
+                            othe[off + 1:off + 1 + aw], synthesis=True)
+        else:
+            aug = aug - np.float32(s) * (othe[off:off + aw]
+                                         + othe[off + 1:off + 1 + aw])
         aug, oth = oth, aug
         ev = not ev
-    L2, H2 = aug, oth  # after num_steps swaps, roles are restored
-    out = np.empty((n,) + L.shape[1:], dtype=L.dtype)
+    if kernel.num_steps % 2:
+        aug, oth = oth, aug
+    L2, H2 = aug, oth  # after an even number of swaps, roles are restored
+    dtype = L.dtype if kernel.reversible else np.float32
+    out = np.empty((n,) + L.shape[1:], dtype=dtype)
     if even:
         out[0::2], out[1::2] = L2, H2
     else:
         out[1::2], out[0::2] = L2, H2
     return np.moveaxis(out, 0, axis)
+
+
+def fwd_rev53_1d(x: np.ndarray, even: bool, axis: int):
+    """Forward 5/3 along axis; returns (L, H)."""
+    return fwd_atk_1d(x, even, axis, ATK_REV53)
+
+
+def inv_rev53_1d(L: np.ndarray, H: np.ndarray, even: bool, axis: int):
+    """Inverse 5/3 along axis; returns interleaved signal."""
+    return inv_atk_1d(L, H, even, axis, ATK_REV53)
 
 
 def fwd_irv97_1d(x: np.ndarray, even: bool, axis: int):
     """Forward 9/7 along axis (float32); returns (L, H) with K scaling
     applied (L *= 1/K, H *= K) as in gen_irv_horz_ana."""
-    x = np.moveaxis(x, axis, 0)
-    n = x.shape[0]
-    if n == 1:
-        if even:
-            return np.moveaxis(x, 0, axis), np.moveaxis(x[:0], 0, axis)
-        return (np.moveaxis(x[:0], 0, axis),
-                np.moveaxis(x * np.float32(2.0), 0, axis))
-    lp = x[0::2] if even else x[1::2]
-    hp = x[1::2] if even else x[0::2]
-    cur_even = even
-    for a in reversed(IRV97_STEPS):
-        lpe = np.concatenate([lp[:1], lp, lp[-1:]], axis=0)
-        off = 1 if cur_even else 0
-        hw = hp.shape[0]
-        hp = hp + a * (lpe[off:off + hw] + lpe[off + 1:off + 1 + hw])
-        lp, hp = hp, lp
-        cur_even = not cur_even
-    lp = lp * (np.float32(1.0) / IRV97_K)
-    hp = hp * IRV97_K
-    return np.moveaxis(lp, 0, axis), np.moveaxis(hp, 0, axis)
+    return fwd_atk_1d(x, even, axis, ATK_IRV97)
 
 
 def inv_irv97_1d(L: np.ndarray, H: np.ndarray, even: bool, axis: int):
     """Inverse 9/7 along axis (float32)."""
-    L = np.moveaxis(L, axis, 0)
-    H = np.moveaxis(H, axis, 0)
-    n = L.shape[0] + H.shape[0]
-    if n == 1:
-        out = L if even else H * np.float32(0.5)
-        return np.moveaxis(out, 0, axis)
-    aug = L * IRV97_K
-    oth = H * (np.float32(1.0) / IRV97_K)
-    ev = even
-    for a in IRV97_STEPS:
-        othe = np.concatenate([oth[:1], oth, oth[-1:]], axis=0)
-        off = 0 if ev else 1
-        aw = aug.shape[0]
-        aug = aug - a * (othe[off:off + aw] + othe[off + 1:off + 1 + aw])
-        aug, oth = oth, aug
-        ev = not ev
-    L2, H2 = aug, oth
-    out = np.empty((n,) + L.shape[1:], dtype=np.float32)
-    if even:
-        out[0::2], out[1::2] = L2, H2
-    else:
-        out[1::2], out[0::2] = L2, H2
-    return np.moveaxis(out, 0, axis)
+    return inv_atk_1d(L, H, even, axis, ATK_IRV97)
 
 
-def fwd_dwt2d(x: np.ndarray, x0: int, y0: int, reversible: bool):
+def _default_kernel(reversible: bool) -> AtkKernel:
+    return ATK_REV53 if reversible else ATK_IRV97
+
+
+def fwd_dwt2d(x: np.ndarray, x0: int, y0: int, reversible: bool,
+              kernel: AtkKernel = None):
     """One 2D analysis level on a resolution plane whose top-left canvas
     coordinate is (x0, y0).  Returns (LL, HL, LH, HH).
 
@@ -167,18 +182,19 @@ def fwd_dwt2d(x: np.ndarray, x0: int, y0: int, reversible: bool):
     oracle)."""
     h_even = (x0 & 1) == 0
     v_even = (y0 & 1) == 0
-    f1d = fwd_rev53_1d if reversible else fwd_irv97_1d
-    Lv, Hv = f1d(x, v_even, axis=0)
-    LL, HL = f1d(Lv, h_even, axis=1)
-    LH, HH = f1d(Hv, h_even, axis=1)
+    k = kernel or _default_kernel(reversible)
+    Lv, Hv = fwd_atk_1d(x, v_even, 0, k)
+    LL, HL = fwd_atk_1d(Lv, h_even, 1, k)
+    LH, HH = fwd_atk_1d(Hv, h_even, 1, k)
     return LL, HL, LH, HH
 
 
-def inv_dwt2d(LL, HL, LH, HH, x0: int, y0: int, reversible: bool):
+def inv_dwt2d(LL, HL, LH, HH, x0: int, y0: int, reversible: bool,
+              kernel: AtkKernel = None):
     """One 2D synthesis level; inverse of fwd_dwt2d."""
     h_even = (x0 & 1) == 0
     v_even = (y0 & 1) == 0
-    i1d = inv_rev53_1d if reversible else inv_irv97_1d
-    Lv = i1d(LL, HL, h_even, axis=1)
-    Hv = i1d(LH, HH, h_even, axis=1)
-    return i1d(Lv, Hv, v_even, axis=0)
+    k = kernel or _default_kernel(reversible)
+    Lv = inv_atk_1d(LL, HL, h_even, 1, k)
+    Hv = inv_atk_1d(LH, HH, h_even, 1, k)
+    return inv_atk_1d(Lv, Hv, v_even, 0, k)

@@ -21,6 +21,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..core.atk import ATK_IRV97, ATK_REV53, AtkKernel
+
 IRV97_K = 1.230174104914001
 IRV97_STEPS = (0.443506852043971,   # update 2
                0.882911075530934,
@@ -80,101 +82,130 @@ def _take(a, start, size, axis):
     return jax.lax.slice_in_dim(a, start, start + size, axis=axis)
 
 
-def fwd_rev53_1d(x: jax.Array, even: bool, axis: int):
-    """Forward 5/3 along axis; returns (L, H)."""
+def fwd_atk_1d(x: jax.Array, even: bool, axis: int, kernel: AtkKernel):
+    """Forward lifting along axis with an arbitrary first-order kernel;
+    returns (L, H).  ``kernel`` is static — each kernel compiles its own
+    fused elementwise chain.
+
+    Defined as the exact inverse of the reference's synthesis state
+    machine (see ops/dwt.py:fwd_atk_1d): synthesis step j updates the
+    L-storage plane for even j, H-storage for odd j, at phase parity
+    even^(j&1); analysis undoes steps Natk-1 .. 0, then scales storage
+    (L *= 1/K, H *= K)."""
     n = x.shape[axis]
     if n == 1:
         empty = _take(x, 0, 0, axis)
-        return (x, empty) if even else (empty, x * 2)
-    lp, hp = _phase_split(x, even, axis)
-    cur_even = even
-    for (a, b, e) in reversed(REV53_STEPS):
-        lpe = _ext(lp, axis)
-        off = 1 if cur_even else 0
-        hw = hp.shape[axis]
-        hp = _rev_step(a, b, e, hp, _take(lpe, off, hw, axis),
-                       _take(lpe, off + 1, hw, axis), synthesis=False)
-        lp, hp = hp, lp
-        cur_even = not cur_even
-    return lp, hp
+        if even:
+            return x, empty
+        scaled = (x * 2) if kernel.reversible else (x * jnp.float32(2.0))
+        return empty, scaled
+    P = list(_phase_split(x, even, axis))
+    for j in range(kernel.num_steps - 1, -1, -1):
+        bidx = j & 1
+        ev_j = even if (j & 1) == 0 else not even
+        B, O = P[bidx], P[1 - bidx]
+        Oe = _ext(O, axis)
+        off = 0 if ev_j else 1
+        bw = B.shape[axis]
+        s0 = _take(Oe, off, bw, axis)
+        s1 = _take(Oe, off + 1, bw, axis)
+        if kernel.reversible:
+            a, b, e = kernel.steps[j]
+            P[bidx] = _rev_step(a, b, e, B, s0, s1, synthesis=False)
+        else:
+            P[bidx] = B + jnp.float32(kernel.steps[j]) * (s0 + s1)
+    if not kernel.reversible:
+        K = kernel.K
+        P[0] = P[0] * jnp.float32(1.0 / K)
+        P[1] = P[1] * jnp.float32(K)
+    return P[0], P[1]
+
+
+def inv_atk_1d(L: jax.Array, H: jax.Array, even: bool, axis: int,
+               kernel: AtkKernel):
+    """Inverse lifting along axis (gen_rev/irv_horz_syn); returns the
+    interleaved signal."""
+    n = L.shape[axis] + H.shape[axis]
+    if n == 1:
+        if even:
+            return L
+        return (H >> 1) if kernel.reversible else H * jnp.float32(0.5)
+    if kernel.reversible:
+        aug, oth = L, H
+    else:
+        K = kernel.K
+        aug = L * jnp.float32(K)
+        oth = H * jnp.float32(1.0 / K)
+    ev = even
+    for s in kernel.steps:
+        othe = _ext(oth, axis)
+        off = 0 if ev else 1
+        aw = aug.shape[axis]
+        if kernel.reversible:
+            a, b, e = s
+            aug = _rev_step(a, b, e, aug, _take(othe, off, aw, axis),
+                            _take(othe, off + 1, aw, axis), synthesis=True)
+        else:
+            aug = aug - jnp.float32(s) * (_take(othe, off, aw, axis)
+                                          + _take(othe, off + 1, aw, axis))
+        aug, oth = oth, aug
+        ev = not ev
+    if kernel.num_steps % 2:
+        aug, oth = oth, aug
+    return _interleave(aug, oth, even, axis)
+
+
+def fwd_rev53_1d(x: jax.Array, even: bool, axis: int):
+    """Forward 5/3 along axis; returns (L, H)."""
+    return fwd_atk_1d(x, even, axis, ATK_REV53)
 
 
 def inv_rev53_1d(L: jax.Array, H: jax.Array, even: bool, axis: int):
     """Inverse 5/3 along axis; returns the interleaved signal."""
-    n = L.shape[axis] + H.shape[axis]
-    if n == 1:
-        return L if even else (H >> 1)
-    aug, oth = L, H
-    ev = even
-    for (a, b, e) in REV53_STEPS:
-        othe = _ext(oth, axis)
-        off = 0 if ev else 1
-        aw = aug.shape[axis]
-        aug = _rev_step(a, b, e, aug, _take(othe, off, aw, axis),
-                        _take(othe, off + 1, aw, axis), synthesis=True)
-        aug, oth = oth, aug
-        ev = not ev
-    return _interleave(aug, oth, even, axis)
+    return inv_atk_1d(L, H, even, axis, ATK_REV53)
 
 
 def fwd_irv97_1d(x: jax.Array, even: bool, axis: int):
     """Forward 9/7 along axis (float32) with K scaling applied."""
-    n = x.shape[axis]
-    if n == 1:
-        empty = _take(x, 0, 0, axis)
-        return (x, empty) if even else (empty, x * jnp.float32(2.0))
-    lp, hp = _phase_split(x, even, axis)
-    cur_even = even
-    for a in reversed(IRV97_STEPS):
-        lpe = _ext(lp, axis)
-        off = 1 if cur_even else 0
-        hw = hp.shape[axis]
-        hp = hp + jnp.float32(a) * (_take(lpe, off, hw, axis)
-                                    + _take(lpe, off + 1, hw, axis))
-        lp, hp = hp, lp
-        cur_even = not cur_even
-    return (lp * jnp.float32(1.0 / IRV97_K), hp * jnp.float32(IRV97_K))
+    return fwd_atk_1d(x, even, axis, ATK_IRV97)
 
 
 def inv_irv97_1d(L: jax.Array, H: jax.Array, even: bool, axis: int):
     """Inverse 9/7 along axis (float32)."""
-    n = L.shape[axis] + H.shape[axis]
-    if n == 1:
-        return L if even else H * jnp.float32(0.5)
-    aug = L * jnp.float32(IRV97_K)
-    oth = H * jnp.float32(1.0 / IRV97_K)
-    ev = even
-    for a in IRV97_STEPS:
-        othe = _ext(oth, axis)
-        off = 0 if ev else 1
-        aw = aug.shape[axis]
-        aug = aug - jnp.float32(a) * (_take(othe, off, aw, axis)
-                                      + _take(othe, off + 1, aw, axis))
-        aug, oth = oth, aug
-        ev = not ev
-    return _interleave(aug, oth, even, axis)
+    return inv_atk_1d(L, H, even, axis, ATK_IRV97)
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3))
-def fwd_dwt2d(x: jax.Array, h_even: bool, v_even: bool, reversible: bool):
+def _kernel_for(reversible: bool, kernel: AtkKernel) -> AtkKernel:
+    return kernel or (ATK_REV53 if reversible else ATK_IRV97)
+
+
+# jitted single-axis entry points for Part-2 DFS levels that split in
+# only one direction (resolution::push_line/pull_line one-way paths)
+fwd_atk_1d_jit = partial(jax.jit, static_argnums=(1, 2, 3))(fwd_atk_1d)
+inv_atk_1d_jit = partial(jax.jit, static_argnums=(2, 3, 4))(inv_atk_1d)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def fwd_dwt2d(x: jax.Array, h_even: bool, v_even: bool, reversible: bool,
+              kernel: AtkKernel = None):
     """One 2D analysis level; returns (LL, HL, LH, HH).
 
     Parity: resolution::push_line vertical lifting ring fused with
     horizontal analysis (ojph_resolution.cpp:530-710), computed here as
     whole-plane vertical-then-horizontal lifting."""
-    f1d = fwd_rev53_1d if reversible else fwd_irv97_1d
-    Lv, Hv = f1d(x, v_even, axis=x.ndim - 2)
-    LL, HL = f1d(Lv, h_even, axis=x.ndim - 1)
-    LH, HH = f1d(Hv, h_even, axis=x.ndim - 1)
+    k = _kernel_for(reversible, kernel)
+    Lv, Hv = fwd_atk_1d(x, v_even, x.ndim - 2, k)
+    LL, HL = fwd_atk_1d(Lv, h_even, x.ndim - 1, k)
+    LH, HH = fwd_atk_1d(Hv, h_even, x.ndim - 1, k)
     return LL, HL, LH, HH
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6))
+@partial(jax.jit, static_argnums=(4, 5, 6, 7))
 def inv_dwt2d(LL, HL, LH, HH, h_even: bool, v_even: bool,
-              reversible: bool):
+              reversible: bool, kernel: AtkKernel = None):
     """One 2D synthesis level; inverse of fwd_dwt2d
     (resolution::pull_line, ojph_resolution.cpp:713-949)."""
-    i1d = inv_rev53_1d if reversible else inv_irv97_1d
-    Lv = i1d(LL, HL, h_even, axis=LL.ndim - 1)
-    Hv = i1d(LH, HH, h_even, axis=LL.ndim - 1)
-    return i1d(Lv, Hv, v_even, axis=LL.ndim - 2)
+    k = _kernel_for(reversible, kernel)
+    Lv = inv_atk_1d(LL, HL, h_even, LL.ndim - 1, k)
+    Hv = inv_atk_1d(LH, HH, h_even, LL.ndim - 1, k)
+    return inv_atk_1d(Lv, Hv, v_even, LL.ndim - 2, k)

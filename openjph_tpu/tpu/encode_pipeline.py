@@ -151,7 +151,8 @@ class TpuEncoder(Encoder):
                                   (res.rect.y0 & 1) == 0))
             comps.append((rev, self.siz.comps[c].bit_depth,
                           self.siz.comps[c].is_signed,
-                          self.hdr.nlt.type3_for(c), tuple(res_specs)))
+                          self.hdr.nlt.type3_for(c), tuple(res_specs),
+                          cod.kernel))
         glist = sorted(groups.values(), key=lambda g: g.gid)
         # vertical strip merge
         for g in glist:
@@ -195,7 +196,7 @@ class TpuEncoder(Encoder):
             # conversion + MCT (inputs arrive in their narrow upload
             # dtype; widen on device)
             conv = []
-            for ci, (rev, bd, sgn, nlt3, _) in enumerate(comps):
+            for ci, (rev, bd, sgn, nlt3, _, _k) in enumerate(comps):
                 pl32 = planes[ci].astype(jnp.int32)
                 if rev:
                     conv.append(jclr.rev_convert_in(pl32, bd, sgn,
@@ -215,14 +216,15 @@ class TpuEncoder(Encoder):
             # DWT pyramids -> per-band smag/val planes
             smag = [None] * len(bands)
             vals = [None] * len(bands)
-            for ci, (rev, bd, sgn, nlt3, res_specs) in enumerate(comps):
+            for ci, (rev, bd, sgn, nlt3, res_specs,
+                     kern) in enumerate(comps):
                 cur = conv[ci]
                 band_planes = {}
                 nres = len(res_specs)
                 for r in range(nres - 1, 0, -1):
                     _, h_even, v_even = res_specs[r]
                     ll, hl, lh, hh = jdwt.fwd_dwt2d(cur, h_even, v_even,
-                                                    rev)
+                                                    rev, kern)
                     bids, _, _ = res_specs[r]
                     band_planes[bids[0]] = hl
                     band_planes[bids[1]] = lh

@@ -185,7 +185,8 @@ def _build_plan(dec: 'TpuDecoder') -> Optional[_Plan]:
             tile_comps.append((tuple(res_specs), rev,
                                dec.hdr.siz.comps[c].bit_depth,
                                dec.hdr.siz.comps[c].is_signed,
-                               dec.hdr.nlt.type3_for(c)))
+                               dec.hdr.nlt.type3_for(c),
+                               cod.kernel))
         nc = dec.hdr.siz.num_comps
         mct = dec.hdr.cod.mc_trans == 1 and nc >= 3
         # narrowing to 8/16-bit is only valid at full reconstruction:
@@ -312,13 +313,13 @@ def _make_runner(plan: _Plan, nframes: int = 1):
         outs = []
         for (mct, comps, narrow_ok) in tiles:
             rec = []
-            for (res_specs, rev, bd, sgn, nlt3) in comps:
+            for (res_specs, rev, bd, sgn, nlt3, kern) in comps:
                 bids0, _, _ = res_specs[0]
                 plane = deq[bids0[0]]
                 for (bids, h_even, v_even) in res_specs[1:]:
                     plane = jdwt.inv_dwt2d(
                         plane, deq[bids[0]], deq[bids[1]], deq[bids[2]],
-                        h_even, v_even, rev)
+                        h_even, v_even, rev, kern)
                 rec.append(plane)
             if mct:
                 rev0 = comps[0][1]
@@ -328,7 +329,7 @@ def _make_runner(plan: _Plan, nframes: int = 1):
                     r, gg, b = jclr.ict_backward(rec[0], rec[1], rec[2])
                 rec[0], rec[1], rec[2] = r, gg, b
             conv = []
-            for ci, (res_specs, rev, bd, sgn, nlt3) in enumerate(comps):
+            for ci, (res_specs, rev, bd, sgn, nlt3, _) in enumerate(comps):
                 if rev:
                     c = jclr.rev_convert_out(rec[ci], bd, sgn, nlt3)
                 else:
@@ -657,13 +658,24 @@ class TpuDecoder(Decoder):
             return np.asarray(jq.tx_from_cb(raw, sb.kmax,
                                             float(sb.delta), reversible))
 
+        from ..core.markers import Dfs
+        kern = cod.kernel
         plane = band(0, 0)
         for r in range(1, top + 1):
             res = comp.resolutions[r]
-            plane = np.asarray(jdwt.inv_dwt2d(
-                plane, band(r, 1), band(r, 2), band(r, 3),
-                (res.rect.x0 & 1) == 0, (res.rect.y0 & 1) == 0,
-                reversible))
+            t = res.dwt_type
+            if t == Dfs.BIDIR_DWT:
+                plane = np.asarray(jdwt.inv_dwt2d(
+                    plane, band(r, 1), band(r, 2), band(r, 3),
+                    (res.rect.x0 & 1) == 0, (res.rect.y0 & 1) == 0,
+                    reversible, kern))
+            elif t == Dfs.HORZ_DWT:
+                plane = np.asarray(jdwt.inv_atk_1d_jit(
+                    plane, band(r, 1), (res.rect.x0 & 1) == 0, 1, kern))
+            elif t == Dfs.VERT_DWT:
+                plane = np.asarray(jdwt.inv_atk_1d_jit(
+                    plane, band(r, 2), (res.rect.y0 & 1) == 0, 0, kern))
+            # NO_DWT: pass-through level
         return plane
 
     def decode_tile(self, tile_idx: int) -> List[np.ndarray]:
