@@ -1,18 +1,27 @@
 #!/usr/bin/env python
-"""Benchmark: sustained HTJ2K video decode throughput on one chip.
+"""Benchmark: sustained HTJ2K video decode into TPU device memory.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "MP/s", "vs_baseline": N}
 
-Workload: an 8-frame 2048x1080 8-bit grayscale reversible-5/3
-sequence (distinct per-frame content, synthesized deterministically
-and encoded by this package; every decode is asserted bit-exact
-against the source frames).  Decode runs through decode_tpu_batch —
-the video path that batches same-geometry frames into one device
-dispatch.  vs_baseline divides our MP/s by single-threaded
-ojph_expand decoding the identical streams on this host (the
-reference publishes no numbers — BASELINE.md), or null when the
-oracle binaries are absent.
+Workload: 2048x1080 8-bit grayscale reversible-5/3 bursts (8 frames
+each, distinct synthetic content, encoded by this package; decode
+verified bit-exact against the source frames before timing).
+
+What is measured — the TPU serving path: compressed bytes in, decoded
+frames resident in HBM (`VideoDecoder(to_device=True)`), where an
+on-device consumer (a model under jit) reads them.  The decoded
+pixels never cross the host link; Tier-1, dequant, DWT synthesis and
+sample conversion all run in one fused device graph per burst.
+
+vs_baseline: the reference delivering frames to the same place.
+ojph_expand decodes on the host (we time it, best of 3), then the raw
+pixels must be uploaded to the device (we time `jax.device_put`,
+best of 3).  The baseline is credited with PERFECT pipelining:
+cost = max(decode, upload), not their sum.  The reference publishes
+no throughput numbers of its own (BASELINE.md), so this measured
+anchor is the baseline.  vs_baseline is null if the oracle binary is
+absent.
 """
 import json
 import os
@@ -35,47 +44,63 @@ W, H, NFRAMES = 2048, 1080, 8
 MP = W * H * NFRAMES / 1e6
 
 
-def make_frames():
-    """Distinct natural-ish frames: drifting 2D sines + film grain."""
+def make_frames(nsets: int = 2):
+    """Distinct natural-ish frames: drifting 2D sines + film grain.
+    ``nsets`` independent bursts so successive uploads carry different
+    bytes (no transport-level dedup of repeated buffers)."""
     import numpy as np
     yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
     rng = np.random.RandomState(42)
-    frames = []
-    for k in range(NFRAMES):
-        img = (127 + 60 * np.sin(xx / 97.0 + k * 0.8)
-               * np.cos(yy / 83.0 - k * 0.35)
-               + 40 * np.sin((xx + yy) / 211.0 + k)
-               + rng.normal(0, 6, (H, W)))
-        frames.append(np.clip(img, 0, 255).astype(np.int32))
-    return frames
+    sets = []
+    for s in range(nsets):
+        frames = []
+        for k in range(NFRAMES):
+            t = s * NFRAMES + k
+            img = (127 + 60 * np.sin(xx / 97.0 + t * 0.8)
+                   * np.cos(yy / 83.0 - t * 0.35)
+                   + 40 * np.sin((xx + yy) / 211.0 + t)
+                   + rng.normal(0, 6, (H, W)))
+            frames.append(np.clip(img, 0, 255).astype(np.int32))
+        sets.append(frames)
+    return sets
 
 
-def bench_ours(frames, streams):
+def bench_ours(frame_sets, stream_sets):
+    import jax
     import numpy as np
     from openjph_tpu import VideoDecoder
-    vd = VideoDecoder()
-    vd.submit(streams)               # warmup: compiles every variant
-    outs = vd.collect()
+    vd = VideoDecoder(to_device=True)
+    # warmup compiles + bit-exactness check via an explicit host fetch
+    vd.submit(stream_sets[0])
+    outs = vd.collect_on_device()
+    host = np.asarray(outs[0][0])
     for k in range(NFRAMES):
-        assert np.array_equal(outs[k][0], frames[k]), \
+        assert np.array_equal(host[k], frame_sets[0][k]), \
             f'frame {k} decode is not bit-exact'
-    # sustained pipelined decode, 2 bursts in flight
-    nburst = 5
+    # sustained decode into HBM, 2 bursts in flight, alternating content
+    nburst = 6
+    last = None
     t0 = time.perf_counter()
-    vd.submit(streams)
-    vd.submit(streams)
-    for _ in range(nburst - 2):
-        vd.collect()
-        vd.submit(streams)
+    for i in range(2):
+        vd.submit(stream_sets[i % len(stream_sets)])
+    for i in range(nburst - 2):
+        last = vd.collect_on_device()
+        vd.submit(stream_sets[i % len(stream_sets)])
     while vd.depth:
-        vd.collect()
+        last = vd.collect_on_device()
+    jax.block_until_ready(last)
+    vd.drain_errors()
     dt = time.perf_counter() - t0
     return MP * nburst / dt
 
 
-def bench_oracle(streams):
+def bench_oracle(stream_sets, frame_sets):
+    """max(host decode, upload) per burst -> MP/s, best of 3 each."""
     if not os.path.exists(ORACLE):
         return 0.0
+    import jax
+    import numpy as np
+    streams = stream_sets[0]
     tmp = tempfile.mkdtemp()
     paths = []
     for k, s in enumerate(streams):
@@ -83,26 +108,41 @@ def bench_oracle(streams):
         open(p, 'wb').write(s)
         paths.append(p)
     out = os.path.join(tmp, 'out.pgm')
-    best = float('inf')
+    t_dec = float('inf')
     for _ in range(3):
         t0 = time.perf_counter()
         for p in paths:
             subprocess.run([ORACLE, '-i', p, '-o', out],
                            check=True, capture_output=True)
-        best = min(best, time.perf_counter() - t0)
-    return MP / best
+        t_dec = min(t_dec, time.perf_counter() - t0)
+    # upload of the decoded burst (distinct buffers per repeat).
+    # device_put can report ready before the bytes actually move, so
+    # force a real device-side read of every element (sum) and fetch
+    # its scalar — the honest arrival time of the data in HBM.
+    import jax.numpy as jnp
+    touch = jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))
+    warm = np.zeros((NFRAMES, H, W), np.uint8)
+    np.asarray(touch(warm))  # compile outside the timed region
+    t_up = float('inf')
+    for r in range(3):
+        burst = np.stack(
+            [f.astype(np.uint8) + r for f in frame_sets[r % 2]])
+        t0 = time.perf_counter()
+        np.asarray(touch(burst))
+        t_up = min(t_up, time.perf_counter() - t0)
+    return MP / max(t_dec, t_up)
 
 
 def main():
     from openjph_tpu import encode
-    frames = make_frames()
-    streams = [encode([f], bit_depth=8, reversible=True,
-                      num_decomps=5, block_size=(64, 64))
-               for f in frames]
-    ours = bench_ours(frames, streams)
-    base = bench_oracle(streams)
+    frame_sets = make_frames()
+    stream_sets = [[encode([f], bit_depth=8, reversible=True,
+                           num_decomps=5, block_size=(64, 64))
+                    for f in frames] for frames in frame_sets]
+    ours = bench_ours(frame_sets, stream_sets)
+    base = bench_oracle(stream_sets, frame_sets)
     print(json.dumps({
-        'metric': 'decode_throughput_8x2048x1080_gray_lossless',
+        'metric': 'decode_to_hbm_8x2048x1080_gray_lossless',
         'value': round(ours, 2),
         'unit': 'MP/s',
         'vs_baseline': round(ours / base, 3) if base else None,
