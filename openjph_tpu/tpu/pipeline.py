@@ -748,9 +748,24 @@ class VideoDecoder:
         self._inflight = []
         self._pending_errs = []
         from concurrent.futures import ThreadPoolExecutor
+        # one worker per direction: _prep_pool runs parse/pack/upload/
+        # dispatch (burst order preserved by the single worker),
+        # _pool drains device->host copies.  Both overlap with the
+        # caller's thread and with device compute.
         self._pool = ThreadPoolExecutor(max_workers=1)
+        self._prep_pool = ThreadPoolExecutor(max_workers=1)
 
     def submit(self, streams: List[bytes]) -> None:
+        """Enqueue a burst: Tier-2 parse, native bit-unstuff/pack,
+        host->device staging and graph dispatch all run on the prep
+        worker, so the caller returns immediately and burst k+1's prep
+        overlaps burst k's device compute.  Parse errors surface at
+        the matching collect()."""
+        self._inflight.append(
+            self._prep_pool.submit(self._prep_and_dispatch,
+                                   list(streams)))
+
+    def _prep_and_dispatch(self, streams: List[bytes]):
         decs = [TpuDecoder(s, skipped_res_for_read=self.skip_res,
                            skipped_res_for_recon=self.skip_res)
                 for s in streams]
@@ -759,8 +774,7 @@ class VideoDecoder:
                 len({p.key for p in plans}) != 1 or \
                 len(streams) not in _F_BUCKETS:
             # mixed/fallback burst: decode synchronously
-            self._inflight.append([d.decode() for d in decs])
-            return
+            return [d.decode() for d in decs]
         F = len(streams)
         key = plans[0].key
         runner = _RUNNERS.get((key, F))
@@ -771,10 +785,15 @@ class VideoDecoder:
         with trace.stage('decode.host_prep'):
             words, meta = _pack(list(zip(decs, plans)))
         with trace.stage('decode.dispatch'):
+            # stage the upload explicitly: device_put streams the
+            # bytes asynchronously (much faster than passing numpy
+            # straight to the jitted call, which serializes the
+            # transfer with the dispatch)
+            words = jax.device_put(words)
+            meta = jax.device_put(meta)
             errs, outs = runner(words, meta)  # async dispatch
         if self.to_device:
-            self._inflight.append((decs, errs, outs))
-            return
+            return (decs, errs, outs)
         # drain the device->host copies on a worker thread so the link
         # moves burst k downstream while burst k+1 uploads/computes;
         # collect() then only joins.  (jax fetches are thread-safe;
@@ -782,11 +801,11 @@ class VideoDecoder:
         fut = self._pool.submit(
             lambda e=errs, o=outs: (np.asarray(e),
                                     jax.tree_util.tree_map(np.asarray, o)))
-        self._inflight.append((decs, fut))
+        return (decs, fut)
 
     def collect(self) -> List[List[np.ndarray]]:
         """Block for and return the oldest submitted burst's frames."""
-        item = self._inflight.pop(0)
+        item = self._inflight.pop(0).result()
         if isinstance(item, list):
             return item
         with trace.stage('decode.fetch'):
@@ -821,7 +840,7 @@ class VideoDecoder:
         ``collect_on_device``/:meth:`drain_errors` call, not
         necessarily this one (the device arrays of a corrupt burst
         contain zeros for the offending blocks)."""
-        item = self._inflight.pop(0)
+        item = self._inflight.pop(0).result()
         if isinstance(item, list):
             raise ValueError(
                 'burst fell back to host decode (mixed geometry or '
