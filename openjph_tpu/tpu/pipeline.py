@@ -108,16 +108,23 @@ class _Plan:
 _RUNNERS: Dict[tuple, object] = {}
 
 
-def _build_plan(dec: 'TpuDecoder') -> Optional[_Plan]:
+def _build_plan(dec: 'TpuDecoder',
+                tile_indices=None) -> Optional[_Plan]:
     """Walk the parsed stream; return None if the fused path can't
-    handle it (then the slow path runs)."""
+    handle it (then the slow path runs).  ``tile_indices`` restricts
+    the plan to a subset of tiles — per-tile plans of a uniform tile
+    grid share one key, which is what lets parallel.tiles batch the
+    tiles of a mosaic along the lane axis and shard them over a
+    mesh (tile independence, ojph_codestream_local.cpp:120)."""
     if dec.resilient:
         return None
     groups: Dict[int, _Group] = {}
     placements = []
     bands = []
     tiles = []
-    for ti, st in enumerate(dec.tiles):
+    sel = (dec.tiles if tile_indices is None
+           else [dec.tiles[i] for i in tile_indices])
+    for ti, st in enumerate(sel):
         tile_comps = []
         for c, comp in enumerate(st.geom.comps):
             cod = dec.hdr.get_cod(c)
@@ -244,11 +251,17 @@ def _tx_from_cb_j(raw, kmax, delta, reversible):
     return jnp.where(neg, -val, val)
 
 
-def _make_runner(plan: _Plan, nframes: int = 1):
+def _make_runner(plan: _Plan, nframes: int = 1, shard=None):
     """Trace the fused decode graph for `nframes` same-geometry frames
     batched along the codeblock lane axis (frame f of group g occupies
     lanes [f*n_pad, (f+1)*n_pad)); reconstruction carries a leading
-    frame axis, so a video burst is still one device dispatch."""
+    frame axis, so a video burst is still one device dispatch.
+
+    ``shard`` (a jax.sharding.NamedSharding over the frame axis)
+    constrains the whole graph — Tier-1, dequant, DWT synthesis and
+    sample conversion — to run frame-parallel over the mesh with no
+    collectives (frames/tiles are independent); the words buffer
+    stays replicated (compressed bytes are small next to pixels)."""
     groups, placements, bands, tiles = (plan.groups, plan.placements,
                                         plan.bands, plan.tiles)
     nmembers = [len(g.members) for g in groups]
@@ -269,6 +282,8 @@ def _make_runner(plan: _Plan, nframes: int = 1):
 
     def run(words, meta):
         meta = meta.reshape(F, tl, 8)
+        if shard is not None:
+            meta = jax.lax.with_sharding_constraint(meta, shard)
         decs = []
         errs = []
         for i, (nm, npad, w, h) in enumerate(
@@ -344,7 +359,10 @@ def _make_runner(plan: _Plan, nframes: int = 1):
                     lo, hi = ((-(1 << (bd - 1)), (1 << (bd - 1)) - 1)
                               if sgn else (0, (1 << bd) - 1))
                     c = jnp.clip(c, lo, hi)
-                conv.append(c.astype(dt))
+                c = c.astype(dt)
+                if shard is not None:
+                    c = jax.lax.with_sharding_constraint(c, shard)
+                conv.append(c)
             outs.append(tuple(conv))
         err_all = jnp.concatenate([e.reshape(-1) for e in errs]) \
             if errs else jnp.zeros((1,), bool)
