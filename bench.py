@@ -77,21 +77,26 @@ def bench_ours(frame_sets, stream_sets):
     for k in range(NFRAMES):
         assert np.array_equal(host[k], frame_sets[0][k]), \
             f'frame {k} decode is not bit-exact'
-    # sustained decode into HBM, 2 bursts in flight, alternating content
+    # sustained decode into HBM, 2 bursts in flight, alternating
+    # content; best of 3 runs — the axon tunnel's bandwidth is very
+    # noisy and the oracle side below is also credited best-of-3
     nburst = 6
-    last = None
-    t0 = time.perf_counter()
-    for i in range(2):
-        vd.submit(stream_sets[i % len(stream_sets)])
-    for i in range(nburst - 2):
-        last = vd.collect_on_device()
-        vd.submit(stream_sets[i % len(stream_sets)])
-    while vd.depth:
-        last = vd.collect_on_device()
-    jax.block_until_ready(last)
-    vd.drain_errors()
-    dt = time.perf_counter() - t0
-    return MP * nburst / dt
+    best = 0.0
+    for _ in range(3):
+        last = None
+        t0 = time.perf_counter()
+        for i in range(2):
+            vd.submit(stream_sets[i % len(stream_sets)])
+        for i in range(nburst - 2):
+            last = vd.collect_on_device()
+            vd.submit(stream_sets[i % len(stream_sets)])
+        while vd.depth:
+            last = vd.collect_on_device()
+        jax.block_until_ready(last)
+        vd.drain_errors()
+        dt = time.perf_counter() - t0
+        best = max(best, MP * nburst / dt)
+    return best
 
 
 def bench_oracle(stream_sets, frame_sets):

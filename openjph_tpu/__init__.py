@@ -6,7 +6,8 @@ OpenJPH-compatible capability surface.
 from .codec import decode, encode, Decoder, Encoder  # noqa: F401
 from .tpu.pipeline import decode_tpu, decode_tpu_batch, \
     TpuDecoder, VideoDecoder  # noqa: F401
-from .tpu.encode_pipeline import encode_tpu, TpuEncoder  # noqa: F401
+from .tpu.encode_pipeline import encode_tpu, encode_tpu_batch, \
+    TpuEncoder, VideoEncoder  # noqa: F401
 from .core.message import (  # noqa: F401
     OjphError, OjphWarning, set_info_stream, set_warning_stream,
     set_error_stream, configure_info, configure_warning,

@@ -569,18 +569,23 @@ class Encoder:
 
     def encode(self, planes: List[np.ndarray]) -> bytes:
         """Encode per-component sample planes into a .j2c codestream."""
-        siz = self.siz
+        tile_rects = build_tile_grid(self.siz)
+        return self.assemble([self._encode_tile(idx, tr, planes)
+                              for idx, tr in enumerate(tile_rects)])
+
+    def assemble(self, tiles_packets) -> bytes:
+        """Assemble per-tile packet lists (in tile index order) into
+        the codestream: main header, SOT/SOD tile-parts (with the
+        configured tile-part divisions), optional TLM, EOC."""
         header = mk.write_main_header(
-            siz, self.cod, self.qcd,
+            self.siz, self.cod, self.qcd,
             cocs=list(self.cocs.values()), qccs=list(self.qccs.values()),
             nlts=self.nlts, comments=self.comments,
             version_comment=b'OpenJPH-TPU Ver 0.1.0.',
             atks=self.atks, dfs_list=self.dfs_list)
-        tile_rects = build_tile_grid(siz)
         body = bytearray()
         tlm_pairs = []
-        for idx, tr in enumerate(tile_rects):
-            packets = self._encode_tile(idx, tr, planes)
+        for idx, packets in enumerate(tiles_packets):
             for (tpsot, tnsot, payload) in self._split_tileparts(packets):
                 sot = mk.Sot(idx, len(payload) + 14, tpsot, tnsot)
                 body += sot.to_bytes()
@@ -724,25 +729,34 @@ def decode(data: bytes, resilient: bool = False,
                    skipped_res_for_recon=skip_res).decode()
 
 
-def encode(planes, bit_depth: int = 8, is_signed: bool = False,
-           reversible: bool = True, num_decomps: int = 5,
-           prog_order: int = mk.ProgOrder.RPCL,
-           color_transform: Optional[bool] = None,
-           base_delta: Optional[float] = None,
-           block_size=(64, 64), tlm_marker: bool = False,
-           tile_size=None, tile_offset=(0, 0), image_offset=(0, 0),
-           precincts=None, downsamplings=None,
-           qfactor: Optional[int] = None, tileparts: str = None,
-           profile: Optional[str] = None) -> bytes:
-    """Encode per-component numpy planes into a .j2c codestream."""
+def normalize_planes(planes) -> List[np.ndarray]:
+    """(H,W) / (H,W,C) array or list of planes -> list of planes."""
     if isinstance(planes, np.ndarray):
-        planes = [planes[..., i] for i in range(planes.shape[-1])] \
+        return [planes[..., i] for i in range(planes.shape[-1])] \
             if planes.ndim == 3 else [planes]
-    nc = len(planes)
+    return list(planes)
+
+
+def build_encoder(shape, nc: int, bit_depth: int = 8,
+                  is_signed: bool = False,
+                  reversible: bool = True, num_decomps: int = 5,
+                  prog_order: int = mk.ProgOrder.RPCL,
+                  color_transform: Optional[bool] = None,
+                  base_delta: Optional[float] = None,
+                  block_size=(64, 64), tlm_marker: bool = False,
+                  tile_size=None, tile_offset=(0, 0),
+                  image_offset=(0, 0),
+                  precincts=None, downsamplings=None,
+                  qfactor: Optional[int] = None, tileparts: str = None,
+                  profile: Optional[str] = None,
+                  encoder_cls=None) -> 'Encoder':
+    """Build an Encoder from the convenience-kwarg surface; ``shape``
+    is the (H, W) of component 0.  ``encoder_cls`` overrides the
+    encoder class (e.g. tpu.encode_pipeline.TpuEncoder)."""
     siz = mk.Siz()
     siz.xosiz, siz.yosiz = image_offset
-    siz.xsiz = planes[0].shape[1] + siz.xosiz
-    siz.ysiz = planes[0].shape[0] + siz.yosiz
+    siz.xsiz = shape[1] + siz.xosiz
+    siz.ysiz = shape[0] + siz.yosiz
     if tile_size is not None:
         siz.xtsiz, siz.ytsiz = tile_size
         siz.xtosiz, siz.ytosiz = tile_offset
@@ -777,6 +791,19 @@ def encode(planes, bit_depth: int = 8, is_signed: bool = False,
             _err(0x000300F1, "tileparts must be 'R', 'C', or 'RC'")
         tp_div = (Encoder.TILEPART_R if 'R' in tp else 0) \
             | (Encoder.TILEPART_C if 'C' in tp else 0)
-    enc = Encoder(siz, cod, base_delta=base_delta, tlm_marker=tlm_marker,
-                  qfactor=qfactor, tilepart_div=tp_div, profile=profile)
+    cls = encoder_cls or Encoder
+    return cls(siz, cod, base_delta=base_delta,
+               tlm_marker=tlm_marker, qfactor=qfactor,
+               tilepart_div=tp_div, profile=profile)
+
+
+def encode(planes, **kwargs) -> bytes:
+    """Encode per-component numpy planes into a .j2c codestream.
+
+    Keywords: bit_depth, is_signed, reversible, num_decomps,
+    prog_order, color_transform, base_delta, block_size, tlm_marker,
+    tile_size, tile_offset, image_offset, precincts, downsamplings,
+    qfactor, tileparts, profile (see build_encoder)."""
+    planes = normalize_planes(planes)
+    enc = build_encoder(planes[0].shape, len(planes), **kwargs)
     return enc.encode([np.asarray(p) for p in planes])

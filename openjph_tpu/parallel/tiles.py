@@ -156,3 +156,94 @@ def decode_mosaic(data: bytes, mesh: Optional[Mesh] = None,
     """Tile-sharded decode of a multi-tile stream; returns the
     assembled component planes."""
     return MosaicDecoder(data, mesh, skip_res).decode()
+
+
+class MosaicEncoder:
+    """Tile-sharded encode of a multi-tile image over a mesh —
+    encode-side of MosaicDecoder.  Tiles of a uniform grid batch on
+    the fused encode runner's frame axis and shard over the mesh
+    (one sharded dispatch per tile-geometry class, zero collectives);
+    byte packing + Tier-2 + stream assembly run on the host.  The
+    output is byte-identical to the sequential encoder's."""
+
+    def __init__(self, mesh: Optional[Mesh] = None, **enc_kwargs):
+        self.mesh = mesh or make_mesh()
+        self.axis = self.mesh.axis_names[0]
+        self.ndev = self.mesh.devices.size
+        self._kwargs = enc_kwargs
+
+    def encode(self, planes) -> bytes:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..codec import build_encoder, normalize_planes
+        from ..core.geometry import build_tile, build_tile_grid
+        from ..tpu.encode_pipeline import (
+            TpuEncoder, _empty_coded, _narrow_tile_plane,
+            _PallasOverflow, _tile_packets)
+        from ..tpu.pipeline import _use_pallas
+        from .. import native
+
+        planes = normalize_planes(planes)
+        nc = len(planes)
+        enc = build_encoder(planes[0].shape, nc,
+                            encoder_cls=TpuEncoder, **self._kwargs)
+        trs = build_tile_grid(enc.siz)
+        geoms = [build_tile(enc.hdr, i, tr)
+                 for i, tr in enumerate(trs)]
+        plans = ([enc._build_enc_plan(g) for g in geoms]
+                 if native.have_native() else [None])
+        if any(p is None for p in plans):
+            return enc.encode(planes)   # scalar-path stream; one host
+        # geometry classes (encode plan keys are geometry-only)
+        classes: List[dict] = []
+        by_key: Dict[tuple, dict] = {}
+        for ti, plan in enumerate(plans):
+            cls = by_key.get(plan.key)
+            if cls is None:
+                cls = {'plan': plan, 'tiles': []}
+                by_key[plan.key] = cls
+                classes.append(cls)
+            cls['tiles'].append(ti)
+        shard = NamedSharding(self.mesh, P(self.axis))
+        all_packets = [None] * len(trs)
+        for cls in classes:
+            plan, tiles = cls['plan'], cls['tiles']
+            T = len(tiles)
+            F = max(_bucket(T, lo=8), self.ndev)
+            with trace.stage('mosaic.enc_host_prep'):
+                stacks = []
+                for c in range(nc):
+                    tps = [_narrow_tile_plane(enc.siz, geoms[ti], c,
+                                              planes[c])
+                           for ti in tiles]
+                    tps += [tps[0]] * (F - T)
+                    stacks.append(np.stack(tps))
+            rk = (plan.key, F, self.mesh, self.axis)
+            runner = _SHARD_RUNNERS.get(rk)
+            if runner is None:
+                with trace.stage('mosaic.enc_compile'):
+                    runner = enc._make_enc_runner(plan, F, shard=shard)
+                _SHARD_RUNNERS[rk] = runner
+            with trace.stage('mosaic.enc_dispatch'):
+                outs = runner(*stacks)
+            codeds = [_empty_coded(geoms[ti], nc) for ti in tiles] \
+                + [None] * (F - T)
+            with trace.stage('mosaic.enc_pack'):
+                if _use_pallas():
+                    try:
+                        enc._consume_pallas_outs(plan, outs, codeds)
+                    except _PallasOverflow:
+                        return enc.encode(planes)
+                else:
+                    enc._consume_record_outs(plan, outs, codeds)
+                del outs
+            with trace.stage('mosaic.enc_t2'):
+                for ti, coded in zip(tiles, codeds):
+                    all_packets[ti] = _tile_packets(enc, geoms[ti],
+                                                    coded)
+        return enc.assemble(all_packets)
+
+
+def encode_mosaic(planes, mesh: Optional[Mesh] = None,
+                  **enc_kwargs) -> bytes:
+    """Tile-sharded encode; returns the .j2c codestream."""
+    return MosaicEncoder(mesh, **enc_kwargs).encode(planes)

@@ -116,10 +116,16 @@ class TpuEncoder(Encoder):
                     bids.append(bid)
                     run = None  # (lane0, ncols, h_true, y0, x0)
                     for bi, g in enumerate(sb.blocks):
-                        grp = groups.get(g.rect.w)
+                        # group by (w, h): the pallas encode kernel's
+                        # quad-row count and MEL/VLC fuse termination
+                        # are static per kernel, so a group must be
+                        # height-uniform (a max-height group would
+                        # encode phantom padding quad rows for its
+                        # shorter lanes)
+                        grp = groups.get((g.rect.w, g.rect.h))
                         if grp is None:
                             grp = _EncGroup(len(groups), g.rect.w)
-                            groups[g.rect.w] = grp
+                            groups[(g.rect.w, g.rect.h)] = grp
                         lane = len(grp.lanes)
                         grp.lanes.append((bid, bi, g.rect.h))
                         grp.h = max(grp.h, g.rect.h)
@@ -186,19 +192,30 @@ class TpuEncoder(Encoder):
                tuple(bands), tuple(comps), mct)
         return _EncPlan(key, glist, bands, comps, mct)
 
-    def _make_enc_runner(self, plan: _EncPlan):
+    def _make_enc_runner(self, plan: _EncPlan, nframes: int = 1,
+                         shard=None):
+        """Trace the fused encode graph for ``nframes`` same-geometry
+        frames batched on a leading axis (a video burst, or the tiles
+        of a mosaic).  Group lane batches are frame-major: frame f of
+        group g occupies lanes [f*L, (f+1)*L).  ``shard`` (a
+        NamedSharding over the frame axis) runs the whole graph
+        frame-parallel over a mesh with no collectives."""
         groups, bands, comps, mct = (plan.groups, plan.bands,
                                      plan.comps, plan.mct)
+        F = nframes
         use_pallas = _use_pallas()
         if use_pallas:
             from .block_encode_pallas import encode_cleanup_pallas
 
         def run(*planes):
             # conversion + MCT (inputs arrive in their narrow upload
-            # dtype; widen on device)
+            # dtype with a leading frame axis; widen on device)
             conv = []
             for ci, (rev, bd, sgn, nlt3, _, _k) in enumerate(comps):
-                pl32 = planes[ci].astype(jnp.int32)
+                pl = planes[ci]
+                if shard is not None:
+                    pl = jax.lax.with_sharding_constraint(pl, shard)
+                pl32 = pl.astype(jnp.int32)
                 if rev:
                     conv.append(jclr.rev_convert_in(pl32, bd, sgn,
                                                     nlt3))
@@ -260,38 +277,43 @@ class TpuEncoder(Encoder):
                 pieces = []
                 flags = []
                 for (lane0, nrows, ncols, h_t, bid, y0, x0) in g.strips:
-                    sp = smag[bid][y0:y0 + nrows * h_t,
+                    sp = smag[bid][:, y0:y0 + nrows * h_t,
                                    x0:x0 + ncols * g.w]
-                    vp = vals[bid][y0:y0 + nrows * h_t,
+                    vp = vals[bid][:, y0:y0 + nrows * h_t,
                                    x0:x0 + ncols * g.w]
-                    blk = sp.reshape(nrows, h_t, ncols, g.w) \
-                        .transpose(0, 2, 1, 3) \
-                        .reshape(nrows * ncols, h_t, g.w)
-                    vblk = vp.reshape(nrows, h_t, ncols, g.w) \
-                        .transpose(0, 2, 1, 3) \
-                        .reshape(nrows * ncols, h_t, g.w)
-                    blk = jnp.pad(blk, ((0, 0), (0, hp - h_t),
+                    blk = sp.reshape(F, nrows, h_t, ncols, g.w) \
+                        .transpose(0, 1, 3, 2, 4) \
+                        .reshape(F, nrows * ncols, h_t, g.w)
+                    vblk = vp.reshape(F, nrows, h_t, ncols, g.w) \
+                        .transpose(0, 1, 3, 2, 4) \
+                        .reshape(F, nrows * ncols, h_t, g.w)
+                    blk = jnp.pad(blk, ((0, 0), (0, 0), (0, hp - h_t),
                                         (0, wp - g.w)))
                     pieces.append(blk)
                     orv = jax.lax.reduce(
-                        vblk, np.uint32(0), jax.lax.bitwise_or, (1, 2))
+                        vblk, np.uint32(0), jax.lax.bitwise_or, (2, 3))
                     flags.append(orv)
-                buf = jnp.concatenate(pieces, axis=0)
-                orv = jnp.concatenate(flags, axis=0)
-                nz = orv >= jnp.asarray(np.array(g.thresh, np.uint32))
+                buf = jnp.concatenate(pieces, axis=1)   # (F, L, h, w)
+                orv = jnp.concatenate(flags, axis=1)    # (F, L)
+                nz = orv >= jnp.asarray(
+                    np.array(g.thresh, np.uint32))[None, :]
+                L = buf.shape[1]
                 if use_pallas:
-                    pad = g.n_pad - buf.shape[0]
-                    bufp = jnp.pad(buf, ((0, pad), (0, 0), (0, 0)))
-                    pp = jnp.asarray(np.pad(
+                    pad = g.n_pad - L
+                    bufp = jnp.pad(buf, ((0, 0), (0, pad), (0, 0),
+                                         (0, 0))) \
+                        .reshape(F * g.n_pad, hp, wp)
+                    pp = jnp.asarray(np.tile(np.pad(
                         np.array(g.p, np.int32), (0, pad),
-                        mode='edge'))
+                        mode='edge'), F))
                     melw, vlcw, msw, bits, ovf = encode_cleanup_pallas(
                         bufp, pp, g.w, g.h, g.caps)
                     outs.append((melw, vlcw, msw, bits, nz, ovf))
                 else:
-                    p = jnp.asarray(np.array(g.p, np.int32))
+                    p = jnp.asarray(np.tile(np.array(g.p, np.int32), F))
                     mel_e, vlc_c, vlc_l, ms_v, ms_l = \
-                        encode_cleanup_core(buf, p, g.w, g.h)
+                        encode_cleanup_core(
+                            buf.reshape(F * L, hp, wp), p, g.w, g.h)
                     outs.append((mel_e, vlc_c, vlc_l, ms_v, ms_l, nz))
             if use_pallas:
                 # one small aux buffer -> one host fetch (the link is
@@ -315,102 +337,80 @@ class TpuEncoder(Encoder):
             plan = self._build_enc_plan(geom)
         if plan is None or not native.have_native():
             return super()._encode_tile(idx, tr, planes)
-        runner = _ENC_RUNNERS.get(plan.key)
+        runner = _ENC_RUNNERS.get((plan.key, 1))
         if runner is None:
             with trace.stage('encode.compile'):
-                runner = self._make_enc_runner(plan)
-            _ENC_RUNNERS[plan.key] = runner
+                runner = self._make_enc_runner(plan, 1)
+            _ENC_RUNNERS[(plan.key, 1)] = runner
 
-        tplanes = []
-        for c in range(nc):
-            comp = geom.comps[c]
-            dx, dy = siz.comps[c].dx, siz.comps[c].dy
-            ox = comp.rect.x0 - (-(-siz.xosiz // dx))
-            oy = comp.rect.y0 - (-(-siz.yosiz // dy))
-            tp = planes[c][oy:oy + comp.rect.h, ox:ox + comp.rect.w]
-            bd = siz.comps[c].bit_depth
-            sgn = siz.comps[c].is_signed
-            # narrowest upload dtype; the runner widens on device
-            if bd <= 8:
-                dt = np.int8 if sgn else np.uint8
-            elif bd <= 16:
-                dt = np.int16 if sgn else np.uint16
-            else:
-                dt = np.int32
-            tplanes.append(np.ascontiguousarray(tp.astype(dt)))
+        tplanes = [_narrow_tile_plane(siz, geom, c, planes[c])[None]
+                   for c in range(nc)]
         with trace.stage('encode.device'):
             outs = runner(*tplanes)
 
         # host: pack segments, build the coded-block structure
-        coded = [[[None] * 4
-                  for _ in range(geom.comps[c].num_decomps + 1)]
-                 for c in range(nc)]
-        for c in range(nc):
-            comp = geom.comps[c]
-            for r in range(comp.num_decomps + 1):
-                for b in ([0] if r == 0 else [1, 2, 3]):
-                    sb = comp.resolutions[r].bands[b]
-                    if sb is not None and not sb.empty:
-                        coded[c][r][b] = [CodedBlock()
-                                          for _ in sb.blocks]
+        coded = _empty_coded(geom, nc)
         with trace.stage('encode.segment_pack'):
             if _use_pallas():
                 try:
-                    self._consume_pallas_outs(plan, outs, coded)
+                    self._consume_pallas_outs(plan, outs, [coded])
                 except _PallasOverflow:
                     return super()._encode_tile(idx, tr, planes)
             else:
-                self._consume_record_outs(plan, outs, coded)
+                self._consume_record_outs(plan, outs, [coded])
             del outs
-
-        # emit packets in progression order, annotated (comp, res)
-        from ..core.t2 import encode_precinct, precinct_iterator
         with trace.stage('encode.t2'):
-            packets = []
-            cod = self.cod
-            for (c, r, pidx) in precinct_iterator(geom, cod.prog_order):
-                res = geom.comps[c].resolutions[r]
-                packets.append((c, r, encode_precinct(
-                    res, pidx, coded[c][r], cod.uses_eph, cod.uses_sop)))
-            return packets
+            return _tile_packets(self, geom, coded)
 
 
-    def _consume_record_outs(self, plan, outs, coded):
+    def _consume_record_outs(self, plan, outs, codeds):
+        F = len(codeds)
         for gi, g in enumerate(plan.groups):
             mel_e, vlc_c, vlc_l, ms_v, ms_l, nz = outs[gi]
             sw = lambda a: np.asarray(a).swapaxes(0, 1)
-            nz = np.asarray(nz)
+            nz = np.asarray(nz).reshape(-1)           # (F*L,)
             pairs = ((g.w + 1) // 2 + 1) // 2
-            pairs_real = np.array(
+            pairs_real = np.tile(np.array(
                 [((h_t + 1) // 2) * pairs for (_, _, h_t) in g.lanes],
-                np.int64)
+                np.int64), F)
             out, lens = native.pack_cleanup_segments(
                 sw(mel_e), sw(vlc_c), sw(vlc_l), sw(ms_v), sw(ms_l),
                 pairs_real, out_stride=g.h * g.w * 5 + 256)
-            self._fill_coded(plan, g, coded, out, lens, nz)
+            L = len(g.lanes)
+            for f, coded in enumerate(codeds):
+                if coded is None:       # padding frame slot
+                    continue
+                self._fill_coded(plan, g, coded,
+                                 out[f * L:(f + 1) * L],
+                                 lens[f * L:(f + 1) * L],
+                                 nz[f * L:(f + 1) * L])
 
-    def _consume_pallas_outs(self, plan, outs, coded):
+    def _consume_pallas_outs(self, plan, outs, codeds):
         """Two-dispatch drain of the pallas encoder: fetch the small
         per-lane aux buffer (bit counts / zero flags / overflow)
         first, then gather only the used word prefixes into one dense
-        buffer on device and fetch that."""
+        buffer on device and fetch that.  Lane batches are frame-
+        major: frame f of a group occupies lanes [f*n_pad,
+        (f+1)*n_pad), real lanes first."""
+        F = len(codeds)
         group_planes, aux = outs
         aux = np.asarray(aux)
         pos = 0
         bits_all = []
         for g in plan.groups:
-            bits_all.append(aux[pos:pos + g.n_pad * 3]
-                            .reshape(g.n_pad, 3))
-            pos += g.n_pad * 3
+            bits_all.append(aux[pos:pos + F * g.n_pad * 3]
+                            .reshape(F * g.n_pad, 3))
+            pos += F * g.n_pad * 3
         nz_all = []
         for g in plan.groups:
-            nlanes = len(g.lanes)
-            nz_all.append(aux[pos:pos + nlanes] != 0)
+            nlanes = F * len(g.lanes)
+            nz_all.append(aux[pos:pos + nlanes]
+                          .reshape(F, len(g.lanes)) != 0)
             pos += nlanes
         for g in plan.groups:
-            if aux[pos:pos + g.n_pad].any():
+            if aux[pos:pos + F * g.n_pad].any():
                 raise _PallasOverflow()
-            pos += g.n_pad
+            pos += F * g.n_pad
         planes = []
         seg_off = [0]
         seg_base = []
@@ -426,9 +426,9 @@ class TpuEncoder(Encoder):
                              (msw, caps[2])):
                 planes.append(arr)
                 stream_bases.append(base)
-                base += g.n_pad * cap
-            meta = np.zeros((g.n_pad, 6), np.int64)
-            for lane in range(g.n_pad):
+                base += F * g.n_pad * cap
+            meta = np.zeros((F * g.n_pad, 6), np.int64)
+            for lane in range(F * g.n_pad):
                 for si, cap in enumerate(caps):
                     meta[lane, si * 2] = seg_off[-1]
                     meta[lane, si * 2 + 1] = bits[lane, si]
@@ -442,10 +442,16 @@ class TpuEncoder(Encoder):
             jnp.asarray(np.asarray(seg_off[:-1], np.int32)),
             jnp.asarray(np.asarray(seg_base, np.int32)), D))
         for gi, g in enumerate(plan.groups):
-            out, lens = native.pack_from_dense(
-                dense, metas[gi][:len(g.lanes)],
-                out_stride=g.h * g.w * 5 + 256)
-            self._fill_coded(plan, g, coded, out, lens, nz_all[gi])
+            L = len(g.lanes)
+            for f, coded in enumerate(codeds):
+                if coded is None:       # padding frame slot
+                    continue
+                out, lens = native.pack_from_dense(
+                    dense,
+                    metas[gi][f * g.n_pad:f * g.n_pad + L],
+                    out_stride=g.h * g.w * 5 + 256)
+                self._fill_coded(plan, g, coded, out, lens,
+                                 nz_all[gi][f])
 
     def _fill_coded(self, plan, g, coded, out, lens, nz):
         for lane, (bid, bi, h_t) in enumerate(g.lanes):
@@ -478,3 +484,157 @@ def encode_tpu(planes, **kwargs) -> bytes:
         return _encode(planes, **kwargs)
     finally:
         _codec.Encoder = old
+
+
+def _narrow_tile_plane(siz, geom, c, plane):
+    """Slice component c's tile plane and narrow to the smallest
+    upload dtype; the runner widens on device (the host link is the
+    encode bottleneck, BASELINE.md)."""
+    comp = geom.comps[c]
+    dx, dy = siz.comps[c].dx, siz.comps[c].dy
+    ox = comp.rect.x0 - (-(-siz.xosiz // dx))
+    oy = comp.rect.y0 - (-(-siz.yosiz // dy))
+    tp = plane[oy:oy + comp.rect.h, ox:ox + comp.rect.w]
+    bd = siz.comps[c].bit_depth
+    sgn = siz.comps[c].is_signed
+    if bd <= 8:
+        dt = np.int8 if sgn else np.uint8
+    elif bd <= 16:
+        dt = np.int16 if sgn else np.uint16
+    else:
+        dt = np.int32
+    return np.ascontiguousarray(tp.astype(dt))
+
+
+def _empty_coded(geom, nc):
+    """Fresh coded-block structure for one tile."""
+    coded = [[[None] * 4
+              for _ in range(geom.comps[c].num_decomps + 1)]
+             for c in range(nc)]
+    for c in range(nc):
+        comp = geom.comps[c]
+        for r in range(comp.num_decomps + 1):
+            for b in ([0] if r == 0 else [1, 2, 3]):
+                sb = comp.resolutions[r].bands[b]
+                if sb is not None and not sb.empty:
+                    coded[c][r][b] = [CodedBlock() for _ in sb.blocks]
+    return coded
+
+
+def _tile_packets(enc, geom, coded):
+    """Emit one tile's packets in progression order, annotated
+    (comp, res) for tile-part division (tile::flush prog-order state
+    machines, ojph_tile.cpp:584-774)."""
+    from ..core.t2 import encode_precinct, precinct_iterator
+    cod = enc.cod
+    packets = []
+    for (c, r, pidx) in precinct_iterator(geom, cod.prog_order):
+        res = geom.comps[c].resolutions[r]
+        packets.append((c, r, encode_precinct(
+            res, pidx, coded[c][r], cod.uses_eph, cod.uses_sop)))
+    return packets
+
+
+_EF_BUCKETS = (8, 4, 2, 1)
+
+
+class VideoEncoder:
+    """Pipelined burst encoder for same-shape frame sequences — the
+    encode-side mirror of pipeline.VideoDecoder.
+
+    A burst of F same-shape frames encodes as ONE fused device
+    dispatch (frames batched on the runner's leading axis), with
+    sample conversion, MCT, the DWT pyramid, quantization and the HT
+    cleanup coder all on device; byte packing and Tier-2 run on the
+    host, overlapped with the next burst's device compute via the
+    prep worker.  Steady-state role of codestream.restart() on the
+    encode side (ojph_codestream.h:109-122)."""
+
+    def __init__(self, **enc_kwargs):
+        self._kwargs = enc_kwargs
+        self._enc = None
+        self._inflight = []
+        from concurrent.futures import ThreadPoolExecutor
+        self._prep_pool = ThreadPoolExecutor(max_workers=1)
+
+    def _ensure(self, frame):
+        from ..codec import build_encoder, normalize_planes
+        planes0 = normalize_planes(frame)
+        self._enc = build_encoder(planes0[0].shape, len(planes0),
+                                  encoder_cls=TpuEncoder,
+                                  **self._kwargs)
+        trs = build_tile_grid(self._enc.siz)
+        self._single_tile = len(trs) == 1
+        if self._single_tile:
+            self._geom = build_tile(self._enc.hdr, 0, trs[0])
+            self._plan = (self._enc._build_enc_plan(self._geom)
+                          if native.have_native() else None)
+        else:
+            self._plan = None
+
+    def submit(self, frames) -> None:
+        """Enqueue a burst (list of (H,W) or (H,W,C) arrays); returns
+        immediately, prep/dispatch run on the worker."""
+        self._inflight.append(
+            self._prep_pool.submit(self._encode_burst, list(frames)))
+
+    def collect(self) -> List[bytes]:
+        """Block for and return the oldest burst's codestreams."""
+        return self._inflight.pop(0).result()
+
+    @property
+    def depth(self) -> int:
+        return len(self._inflight)
+
+    def _encode_burst(self, frames) -> List[bytes]:
+        from ..codec import normalize_planes
+        if self._enc is None:
+            self._ensure(frames[0])
+        enc, plan = self._enc, self._plan
+        F = len(frames)
+        if plan is None or F not in _EF_BUCKETS:
+            # fallback: per-frame fused (or scalar) encode
+            return [enc.encode(normalize_planes(f)) for f in frames]
+        geom = self._geom
+        nc = enc.siz.num_comps
+        runner = _ENC_RUNNERS.get((plan.key, F))
+        if runner is None:
+            with trace.stage('encode.compile'):
+                runner = enc._make_enc_runner(plan, F)
+            _ENC_RUNNERS[(plan.key, F)] = runner
+        with trace.stage('encode.host_prep'):
+            stacks = [np.stack([_narrow_tile_plane(
+                enc.siz, geom, c, normalize_planes(f)[c])
+                for f in frames]) for c in range(nc)]
+        with trace.stage('encode.device'):
+            outs = runner(*stacks)
+        codeds = [_empty_coded(geom, nc) for _ in range(F)]
+        with trace.stage('encode.segment_pack'):
+            if _use_pallas():
+                try:
+                    enc._consume_pallas_outs(plan, outs, codeds)
+                except _PallasOverflow:
+                    return [enc.encode(normalize_planes(f))
+                            for f in frames]
+            else:
+                enc._consume_record_outs(plan, outs, codeds)
+            del outs
+        with trace.stage('encode.t2'):
+            return [enc.assemble([_tile_packets(enc, geom, coded)])
+                    for coded in codeds]
+
+
+def encode_tpu_batch(frames, **kwargs) -> List[bytes]:
+    """Encode many same-shape frames, batched into fused burst
+    dispatches (encode-side decode_tpu_batch)."""
+    enc = VideoEncoder(**kwargs)
+    out = []
+    i = 0
+    n = len(frames)
+    while i < n:
+        F = next(f for f in _EF_BUCKETS if f <= n - i)
+        enc.submit(frames[i:i + F])
+        i += F
+    while enc.depth:
+        out.extend(enc.collect())
+    return out

@@ -756,13 +756,17 @@ class VideoDecoder:
     (ojph_codestream.h:109-122, stream_expand thread pool).
     """
 
-    def __init__(self, skip_res: int = 0, to_device: bool = False):
+    def __init__(self, skip_res: int = 0, to_device: bool = False,
+                 stage_uploads: bool = True):
         """``to_device=True`` keeps decoded frames in device memory
         (HBM): ``collect_on_device`` returns jax Arrays for a
         downstream on-device consumer (the TPU serving path — decoded
-        video feeding a model never crosses the host link)."""
+        video feeding a model never crosses the host link).
+        ``stage_uploads`` issues explicit device_put before dispatch;
+        False passes numpy straight to the jitted call."""
         self.skip_res = skip_res
         self.to_device = to_device
+        self.stage_uploads = stage_uploads
         self._inflight = []
         self._pending_errs = []
         from concurrent.futures import ThreadPoolExecutor
@@ -803,12 +807,12 @@ class VideoDecoder:
         with trace.stage('decode.host_prep'):
             words, meta = _pack(list(zip(decs, plans)))
         with trace.stage('decode.dispatch'):
-            # stage the upload explicitly: device_put streams the
-            # bytes asynchronously (much faster than passing numpy
-            # straight to the jitted call, which serializes the
-            # transfer with the dispatch)
-            words = jax.device_put(words)
-            meta = jax.device_put(meta)
+            if self.stage_uploads:
+                # stage the upload explicitly: device_put streams the
+                # bytes asynchronously instead of serializing the
+                # transfer with the dispatch
+                words = jax.device_put(words)
+                meta = jax.device_put(meta)
             errs, outs = runner(words, meta)  # async dispatch
         if self.to_device:
             return (decs, errs, outs)

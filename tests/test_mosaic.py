@@ -66,3 +66,24 @@ def test_irreversible_mosaic(rng):
     assert np.array_equal(got[0], tpu[0])
     ref = Decoder(stream).decode()
     assert np.abs(got[0].astype(np.int64) - ref[0]).max() <= 1
+
+
+def test_mosaic_encode_uniform(rng):
+    from openjph_tpu.parallel.tiles import encode_mosaic
+    img = rng.randint(0, 256, size=(256, 256)).astype(np.int32)
+    ref = encode([img], reversible=True, num_decomps=2,
+                 tile_size=(64, 64))
+    got = encode_mosaic([img], make_mesh(8), reversible=True,
+                        num_decomps=2, tile_size=(64, 64))
+    assert got == ref   # byte-identical stream, tiles sharded
+
+
+def test_mosaic_encode_rim_rgb(rng):
+    from openjph_tpu.parallel.tiles import encode_mosaic
+    img = rng.randint(0, 256, size=(256, 320, 3)).astype(np.int32)
+    ref = encode(img, reversible=True, num_decomps=2,
+                 tile_size=(128, 128), color_transform=True)
+    got = encode_mosaic(img, make_mesh(8), reversible=True,
+                        num_decomps=2, tile_size=(128, 128),
+                        color_transform=True)
+    assert got == ref

@@ -74,3 +74,25 @@ def test_encode_kernel_segments_match_records(rng, w, h, kmax):
         assert lens_r[i] == lens_p[i], f'lane {i} length'
         assert np.array_equal(out_r[i, :lens_r[i]],
                               out_p[i, :lens_p[i]]), f'lane {i} bytes'
+
+
+def test_pipeline_mixed_height_groups(rng, monkeypatch):
+    """Regression: same-width blocks with different true heights must
+    not share an encode group — the kernel's quad-row count and fuse
+    termination are static, so a max-height group encoded phantom
+    padding rows for its shorter lanes (caught at 100x150x3, whose
+    w=19 r1 blocks come in h=12 and h=13)."""
+    import openjph_tpu.tpu.pipeline as pl
+    import openjph_tpu.tpu.block_encode_pallas as bep
+    from openjph_tpu import encode
+    from openjph_tpu.tpu.encode_pipeline import encode_tpu
+
+    orig = bep.encode_cleanup_pallas
+    monkeypatch.setattr(
+        bep, 'encode_cleanup_pallas',
+        lambda buf, p, w, h, caps: orig(buf, p, w, h, caps,
+                                        interpret=True))
+    monkeypatch.setattr(pl, '_USE_PALLAS', True)
+    img = rng.randint(0, 256, (100, 150, 3)).astype(np.int32)
+    assert encode_tpu(img, reversible=True, num_decomps=3) \
+        == encode(img, reversible=True, num_decomps=3)
