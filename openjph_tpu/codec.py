@@ -170,8 +170,13 @@ class Decoder:
                 # errors otherwise (ojph_codestream_local.cpp:925-950)
                 if sot.isot >= len(self.tiles):
                     _err(0x00030061, f'wrong tile index {sot.isot}')
-                if payload_end <= pos:
+                if payload_end < pos:
                     _err(0x00030067, 'tile-part header runs past Psot')
+                # payload_end == pos is a legal EMPTY tile-part (a
+                # tile-part division boundary with no packets, e.g. a
+                # 1-sample-wide tile whose r0 emits nothing; the
+                # reference's own -tileparts R output contains these
+                # with Psot=14 and ojph_expand accepts them)
                 self._parse_one_tile_part(sot, pos, payload_end - pos)
             except (ValueError, EOFError):
                 if not self.resilient:

@@ -161,7 +161,15 @@ def make_rev_qcd(num_decomps: int, bit_depth: int, employs_rct: bool,
         gh = [_f32(v) for v in BIBO_GAIN_53_H[:num_decomps]]
     exps: List[int] = []
     X = math.ceil(math.log2(gl[num_decomps] * gl[num_decomps]))
-    exps.append(B + X)
+    # Clamp the LL gain exponent to >=1: at num_decomps=0 the
+    # reference writes B+0 (set_rev_quant, ojph_params.cpp:1495),
+    # which makes Kmax = B-1 — one bitplane short of the DC-shifted
+    # minimum -2^(B-1), so a 0 sample round-trips to +2^(B-1) (the
+    # reference's own compress|expand pair reproduces this).  One
+    # extra bitplane restores exact lossless behavior; with any
+    # decomposition the 5/3 BIBO gain already gives X>=1, so only
+    # the 0-decomposition stream differs from the reference's.
+    exps.append(B + max(1, X))
     types = _level_types(num_decomps, dfs)
     for i, d in enumerate(range(num_decomps, 0, -1)):
         t = types[i]

@@ -14,3 +14,9 @@ def test_fuzz_decode_smoke():
     import fuzz_decode
     stats = fuzz_decode.run(iterations=120, seed=1234, quiet=True)
     assert sum(stats.values()) > 0
+
+
+def test_fuzz_encode_smoke():
+    import fuzz_encode as fe
+    n_ok, n_rej, _ = fe.run(iterations=40, seed=3, quiet=True)
+    assert n_ok + n_rej == 40 and n_ok > 0

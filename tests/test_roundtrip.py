@@ -63,17 +63,23 @@ def test_gray_lossless_parity(tmp_path, rng, w, h, nd, bs):
         # match its decode bit-exactly either way
         assert np.array_equal(img, mine)  # lossless
 
-    # our encoder produces byte-identical tile bytes
+    # our encoder produces byte-identical tile bytes — except at
+    # num_decomps=0, where we deliberately allocate one more LL
+    # bitplane than the reference (its Kmax truncates the DC-shifted
+    # minimum and it is lossy on its own streams; core/quant.py)
     ours = encode(img, bit_depth=8, reversible=True, num_decomps=nd,
                   block_size=(bs, bs))
-    assert _tile_bytes(ours) == _tile_bytes(ref_stream)
+    if nd > 0:
+        assert _tile_bytes(ours) == _tile_bytes(ref_stream)
 
-    # and ojph_expand reads our stream bit-exact
+    # and ojph_expand reads our stream bit-exact (at nd0 it recovers
+    # the true source, which the reference's own stream cannot)
     oj2c = str(tmp_path / 'ours.j2c')
     open(oj2c, 'wb').write(ours)
     out2 = str(tmp_path / 'ours_dec.pgm')
     run_oracle('ojph_expand', '-i', oj2c, '-o', out2)
-    assert np.array_equal(read_pnm(out2).astype(np.int32), ref_dec)
+    want = img if nd == 0 else ref_dec
+    assert np.array_equal(read_pnm(out2).astype(np.int32), want)
 
 
 @requires_oracle
@@ -173,3 +179,32 @@ def test_16bit_lossless(tmp_path, rng):
     assert np.array_equal(decode(ref_stream)[0], img)
     ours = encode(img, bit_depth=16, reversible=True)
     assert _tile_bytes(ours) == _tile_bytes(ref_stream)
+
+
+def test_zero_decomps_lossless(rng):
+    """num_decomps=0: the reference's set_rev_quant writes B+0 so its
+    Kmax is one bitplane short of the DC-shifted minimum and its own
+    compress|expand round-trip corrupts extreme samples; we allocate
+    the extra bitplane (core/quant.py) and round-trip exactly."""
+    for sgn in (False, True):
+        lo, hi = (-128, 128) if sgn else (0, 256)
+        img = rng.randint(lo, hi, (33, 17)).astype(np.int32)
+        img[0, 0] = lo          # the sample the reference corrupts
+        s = encode([img], bit_depth=8, is_signed=sgn,
+                   reversible=True, num_decomps=0)
+        assert np.array_equal(decode(s)[0], img)
+
+
+def test_empty_tilepart(rng):
+    """A tile-part division boundary with no packets (Psot=14) is
+    legal — the reference's -tileparts R output contains them for
+    slim edge tiles and ojph_expand accepts them."""
+    img = rng.randint(0, 256, (92, 100)).astype(np.int32)
+    s = encode([img], reversible=True, num_decomps=1,
+               tileparts='R', tile_size=(33, 33))
+    import struct
+    # the stream really does contain an empty tile-part
+    assert any(struct.unpack('>I', s[i + 6:i + 10])[0] == 14
+               for i in range(len(s) - 10)
+               if s[i:i + 2] == b'\xff\x90')
+    assert np.array_equal(decode(s)[0], img)
