@@ -144,7 +144,9 @@ def main(argv=None) -> int:
             tileparts=args.get('-tileparts'),
             profile=args.get('-profile'),
         )
-        args.get('-com')  # accepted; comment emission handled below
+        com = args.get('-com')
+        if com is not None:
+            kwargs['comments'] = [com]
         args.get('-dims')
         args.get('-num_comps')
         args.get('-signed')

@@ -754,6 +754,7 @@ def build_encoder(shape, nc: int, bit_depth: int = 8,
                   precincts=None, downsamplings=None,
                   qfactor: Optional[int] = None, tileparts: str = None,
                   profile: Optional[str] = None,
+                  comments=None,
                   encoder_cls=None) -> 'Encoder':
     """Build an Encoder from the convenience-kwarg surface; ``shape``
     is the (H, W) of component 0.  ``encoder_cls`` overrides the
@@ -796,10 +797,17 @@ def build_encoder(shape, nc: int, bit_depth: int = 8,
             _err(0x000300F1, "tileparts must be 'R', 'C', or 'RC'")
         tp_div = (Encoder.TILEPART_R if 'R' in tp else 0) \
             | (Encoder.TILEPART_C if 'C' in tp else 0)
+    coms = []
+    for com in comments or ():
+        if isinstance(com, mk.Com):
+            coms.append(com)
+        else:
+            data = com.encode('latin-1') if isinstance(com, str) else com
+            coms.append(mk.Com(1, bytes(data)))
     cls = encoder_cls or Encoder
     return cls(siz, cod, base_delta=base_delta,
                tlm_marker=tlm_marker, qfactor=qfactor,
-               tilepart_div=tp_div, profile=profile)
+               tilepart_div=tp_div, profile=profile, comments=coms)
 
 
 def encode(planes, **kwargs) -> bytes:
@@ -808,7 +816,7 @@ def encode(planes, **kwargs) -> bytes:
     Keywords: bit_depth, is_signed, reversible, num_decomps,
     prog_order, color_transform, base_delta, block_size, tlm_marker,
     tile_size, tile_offset, image_offset, precincts, downsamplings,
-    qfactor, tileparts, profile (see build_encoder)."""
+    qfactor, tileparts, profile, comments (see build_encoder)."""
     planes = normalize_planes(planes)
     enc = build_encoder(planes[0].shape, len(planes), **kwargs)
     return enc.encode([np.asarray(p) for p in planes])

@@ -195,6 +195,71 @@ def test_zero_decomps_lossless(rng):
         assert np.array_equal(decode(s)[0], img)
 
 
+@requires_oracle
+def test_yuv420_parity(tmp_path, rng):
+    """4:2:0 downsampled components (yuv_in layout: luma full-res,
+    chroma halved both ways), matching the reference's YUV coverage."""
+    w, h = 128, 96
+    y = _gray_image(rng, w, h)
+    u = _gray_image(rng, w // 2, h // 2)
+    v = _gray_image(rng, w // 2, h // 2)
+    planes = [y, u, v]
+    src = str(tmp_path / 'src.yuv')
+    with open(src, 'wb') as f:
+        for p in planes:
+            f.write(p.astype(np.uint8).tobytes())
+    j2c = str(tmp_path / 'ref.j2c')
+    run_oracle('ojph_compress', '-i', src, '-o', j2c,
+               '-dims', f'{{{w},{h}}}', '-num_comps', '3',
+               '-downsamp', '{1,1},{2,2}', '-bit_depth', '8',
+               '-signed', 'false', '-reversible', 'true',
+               '-num_decomps', '3')
+    ref_stream = open(j2c, 'rb').read()
+    got = decode(ref_stream)
+    for c in range(3):
+        assert np.array_equal(got[c], planes[c])
+    ours = encode(planes, reversible=True, num_decomps=3,
+                  downsamplings=[(1, 1), (2, 2), (2, 2)])
+    assert _tile_bytes(ours) == _tile_bytes(ref_stream)
+
+
+@requires_oracle
+def test_qfactor_parity(tmp_path, rng):
+    """-qfactor visual weighting must reproduce the reference's QCD
+    and coded bytes (ojph_params.cpp:599+ visual weight tables)."""
+    img = _rgb_image(rng, 128, 96)
+    src = str(tmp_path / 'src.ppm')
+    write_pnm(src, img.astype(np.uint8))
+    j2c = str(tmp_path / 'ref.j2c')
+    run_oracle('ojph_compress', '-i', src, '-o', j2c, '-qfactor', '85')
+    ref_stream = open(j2c, 'rb').read()
+    ours = encode([img[..., c] for c in range(3)], qfactor=85,
+                  reversible=False)
+    assert _tile_bytes(ours) == _tile_bytes(ref_stream)
+    # and the whole main header except the COM version string
+    i_ref = ref_stream.find(b'\xff\x64')
+    i_our = ours.find(b'\xff\x64')
+    assert ref_stream[:i_ref] == ours[:i_our]
+
+
+@requires_oracle
+def test_comment_marker(tmp_path, rng):
+    """encode(comments=...) emits a COM the oracle accepts
+    (comment_exchange, ojph_codestream_local.cpp:686-704)."""
+    img = _gray_image(rng, 64, 64)
+    s = encode(img, reversible=True, comments=['hello htj2k'])
+    assert b'hello htj2k' in s
+    j2c = str(tmp_path / 'c.j2c')
+    open(j2c, 'wb').write(s)
+    out = str(tmp_path / 'c.pgm')
+    run_oracle('ojph_expand', '-i', j2c, '-o', out)
+    assert np.array_equal(read_pnm(out).astype(np.int32), img)
+    # the decoder surfaces it
+    from openjph_tpu.core.markers import read_main_header
+    hdr = read_main_header(s)
+    assert any(c.data == b'hello htj2k' for c in hdr.comments)
+
+
 def test_empty_tilepart(rng):
     """A tile-part division boundary with no packets (Psot=14) is
     legal — the reference's -tileparts R output contains them for
