@@ -18,7 +18,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from .coding.decoder import decode_codeblock
-from .coding.encoder import encode_codeblock
+from .coding.encoder import encode_codeblock, encode_codeblock_multipass
 from .core import markers as mk
 from .core.message import error as _err, warn as _wrn
 from .core.geometry import (ResolutionGeom, SubbandGeom, TileGeom,
@@ -373,7 +373,8 @@ class Encoder:
                  qfactor: Optional[int] = None,
                  profile: Optional[str] = None,
                  atks: List = (),
-                 dfs_list: List[mk.Dfs] = ()):
+                 dfs_list: List[mk.Dfs] = (),
+                 ht_passes: int = 1):
         if siz.xtsiz == 0 and siz.ytsiz == 0:
             siz.xtsiz = siz.xsiz + siz.xosiz
             siz.ytsiz = siz.ysiz + siz.yosiz
@@ -405,6 +406,9 @@ class Encoder:
         self.comments = list(comments)
         self.tlm_marker = tlm_marker
         self.tilepart_div = tilepart_div
+        if ht_passes not in (1, 2, 3):
+            _err(0x000500F3, 'ht_passes must be 1, 2 or 3')
+        self.ht_passes = ht_passes
         if profile:
             # IMF/BROADCAST validation; both force TLM + component-level
             # tile parts (ojph_codestream_local.cpp:446-453, 544-551)
@@ -710,12 +714,33 @@ class Encoder:
                     wide = reversible and sb.kmax >= 31
                     thresh = 1 << ((63 if wide else 31) - sb.kmax)
                     if mv >= thresh:
-                        cb.missing_msbs = sb.kmax - 1
-                        cb.num_passes = 1
-                        cb.data = encode_codeblock(
-                            sub, sb.kmax - 1, g.rect.w, g.rect.h,
-                            bits=64 if wide else 32)
-                        cb.pass_length[0] = len(cb.data)
+                        multi = (self.ht_passes > 1 and not wide
+                                 and sb.kmax >= 2)
+                        if multi:
+                            # cleanup codes planes >= 1, SigProp/MagRef
+                            # code plane 0 (finer truncation point than
+                            # a whole cleanup bitplane)
+                            seg1, seg2 = encode_codeblock_multipass(
+                                sub, sb.kmax - 2, g.rect.w, g.rect.h,
+                                num_passes=self.ht_passes,
+                                stripe_causal=self.cod.vert_causal)
+                            # reference parse limit: refinement
+                            # segment < 2047 bytes (ojph_precinct.cpp:
+                            # 496-514); fall back to cleanup-only
+                            multi = 0 < len(seg2) < 2047
+                        if multi:
+                            cb.missing_msbs = sb.kmax - 2
+                            cb.num_passes = self.ht_passes
+                            cb.data = seg1 + seg2
+                            cb.pass_length[0] = len(seg1)
+                            cb.pass_length[1] = len(seg2)
+                        else:
+                            cb.missing_msbs = sb.kmax - 1
+                            cb.num_passes = 1
+                            cb.data = encode_codeblock(
+                                sub, sb.kmax - 1, g.rect.w, g.rect.h,
+                                bits=64 if wide else 32)
+                            cb.pass_length[0] = len(cb.data)
                     blocks.append(cb)
                 per_band.append(blocks)
             per_res.append(per_band)
@@ -754,7 +779,8 @@ def build_encoder(shape, nc: int, bit_depth: int = 8,
                   precincts=None, downsamplings=None,
                   qfactor: Optional[int] = None, tileparts: str = None,
                   profile: Optional[str] = None,
-                  comments=None,
+                  comments=None, ht_passes: int = 1,
+                  vert_causal: bool = False,
                   encoder_cls=None) -> 'Encoder':
     """Build an Encoder from the convenience-kwarg surface; ``shape``
     is the (H, W) of component 0.  ``encoder_cls`` overrides the
@@ -775,6 +801,8 @@ def build_encoder(shape, nc: int, bit_depth: int = 8,
     cod.log_block_w = block_size[0].bit_length() - 1
     cod.log_block_h = block_size[1].bit_length() - 1
     cod.wavelet_kern = mk.DWT_REV53 if reversible else mk.DWT_IRV97
+    if vert_causal:
+        cod.block_style |= mk.VERT_CAUSAL_MODE
     if color_transform is None:
         color_transform = (nc >= 3 and not any(
             (siz.comps[c].dx != 1 or siz.comps[c].dy != 1)
@@ -807,7 +835,8 @@ def build_encoder(shape, nc: int, bit_depth: int = 8,
     cls = encoder_cls or Encoder
     return cls(siz, cod, base_delta=base_delta,
                tlm_marker=tlm_marker, qfactor=qfactor,
-               tilepart_div=tp_div, profile=profile, comments=coms)
+               tilepart_div=tp_div, profile=profile, comments=coms,
+               ht_passes=ht_passes)
 
 
 def encode(planes, **kwargs) -> bytes:
@@ -816,7 +845,8 @@ def encode(planes, **kwargs) -> bytes:
     Keywords: bit_depth, is_signed, reversible, num_decomps,
     prog_order, color_transform, base_delta, block_size, tlm_marker,
     tile_size, tile_offset, image_offset, precincts, downsamplings,
-    qfactor, tileparts, profile, comments (see build_encoder)."""
+    qfactor, tileparts, profile, comments, ht_passes, vert_causal
+    (see build_encoder)."""
     planes = normalize_planes(planes)
     enc = build_encoder(planes[0].shape, len(planes), **kwargs)
     return enc.encode([np.asarray(p) for p in planes])

@@ -396,3 +396,205 @@ def encode_codeblock(buf: np.ndarray, missing_msbs: int,
     out[-1] = (num_bytes >> 4) & 0xFF
     out[-2] = (out[-2] & 0xF0) | (num_bytes & 0xF)
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# SigProp + MagRef pass emission (multi-pass HT segments)
+#
+# The reference encoder is cleanup-only (ojph_block_encoder.cpp:548
+# asserts num_passes==1); its DECODER however handles 2- and 3-pass
+# blocks (ojph_block_decoder32.cpp:1318-1611), so these writers are the
+# exact inverse of that decode path (and of coding/decoder.py
+# _decode_spp_mrp).  They let the framework emit finer truncation
+# points than a whole cleanup bitplane: the cleanup pass codes
+# magnitude bits >= p and SigProp/MagRef code plane p-1 for the
+# member samples the decoder will visit.
+# ---------------------------------------------------------------------------
+
+
+class _SppEncoder(MsEncoder):
+    """Forward packer for the SigProp segment: same 0xFF stuffing as
+    MagSgn, but terminated with zero padding (the SigProp reader's
+    exhaustion fill is 0, frwd_init<0> at ojph_block_decoder32.cpp:1371
+    vs 0xFF for MagSgn)."""
+
+    def terminate(self):
+        if self.used_bits:
+            self.out.append(self.tmp)
+
+
+class _MrpEncoder(VlcEncoder):
+    """Backward packer for the MagRef segment: VLC stuffing rules with
+    the MagRef reader's initial state (rev_init_mrp starts with
+    unstuff=true and an empty window, ojph_block_decoder32.cpp:517-575).
+    Bytes are emitted in read order (file order reversed)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.used_bits = 0
+        self.tmp = 0
+        self.last_greater_than_8F = True
+
+    def terminate(self) -> bytes:
+        lst = list(self.out)
+        if self.used_bits:
+            lst.append(self.tmp)
+        return bytes(reversed(lst))
+
+
+_SPP_SPREAD = (0x33, 0x76, 0xEC, 0xC8)
+
+
+def _pack_sig(mag: np.ndarray, p: int, width: int, height: int):
+    """Cleanup significance packed 4 bits per column per 4x4 group
+    (same layout as decoder._sig_from_inf)."""
+    n_sy = (height + 3) >> 2
+    n_gx = (width + 3) >> 2
+    sig = np.zeros((n_sy + 1, n_gx + 1), dtype=np.uint32)
+    ys, xs = np.nonzero(mag[:height, :width] >> p)
+    for y, x in zip(ys.tolist(), xs.tolist()):
+        sig[y >> 2, x >> 2] |= 1 << (((x & 3) << 2) | (y & 3))
+    return sig
+
+
+def encode_spp_mrp(buf: np.ndarray, missing_msbs: int, width: int,
+                   height: int, num_passes: int = 3,
+                   stripe_causal: bool = False,
+                   bits: int = 32) -> bytes:
+    """Emit the refinement segment (SigProp [+ MagRef]) for ``buf``.
+
+    ``buf`` uses the same convention as encode_codeblock: sign in the
+    top bit, magnitude aligned so plane p = (30|62) - missing_msbs is
+    the cleanup LSB.  SigProp codes plane p-1 for insignificant
+    neighbors of significant samples; MagRef refines plane p-1 of
+    cleanup-significant samples.  Returns SPP bytes + MRP bytes (one
+    segment; the readers meet in the middle)."""
+    p = (30 if bits == 32 else 62) - missing_msbs
+    if p < 2:
+        raise ValueError('multi-pass encoding needs p >= 2')
+    dt = np.uint32 if bits == 32 else np.uint64
+    sub = buf[:height, :width].astype(dt)
+    mag = sub & dt((1 << (bits - 1)) - 1)
+    sgn = (sub >> dt(bits - 1)).astype(np.uint8)
+
+    sig = _pack_sig(mag, p, width, height)
+    n_sy = (height + 3) >> 2
+    n_gx = (width + 3) >> 2
+
+    # ---- SigProp pass (inverse of decoder.py:382-464) -------------------
+    spp = _SppEncoder()
+    prev_row_sig = np.zeros(n_gx + 1, dtype=np.uint32)
+    for sy in range(n_sy):
+        y = sy * 4
+        pattern0 = 0xFFFF
+        if height - y < 4:
+            pattern0 = 0x7777
+            if height - y < 3:
+                pattern0 = 0x3333
+                if height - y < 2:
+                    pattern0 = 0x1111
+        prev = 0
+        pattern = pattern0
+        for gx in range(n_gx):
+            x = gx * 4
+            s = max(x + 4 - width, 0)
+            pattern = pattern >> (s * 4)
+
+            ps = int(prev_row_sig[gx]) | (int(prev_row_sig[gx + 1]) << 16)
+            ns = int(sig[sy + 1, gx]) | (int(sig[sy + 1, gx + 1]) << 16)
+            u = (ps & 0x88888888) >> 3
+            if not stripe_causal:
+                u |= (ns & 0x11111111) << 3
+            cs = int(sig[sy, gx]) | (int(sig[sy, gx + 1]) << 16)
+            mbr = cs
+            mbr |= (cs & 0x77777777) << 1
+            mbr |= (cs & 0xEEEEEEEE) >> 1
+            mbr |= u
+            tt = mbr
+            mbr |= tt << 4
+            mbr |= tt >> 4
+            mbr |= prev >> 12
+            mbr &= pattern
+            mbr &= ~cs & 0xFFFFFFFF
+
+            new_sig = mbr
+            if new_sig:
+                col_mask = 0xF
+                inv_sig = ~cs & pattern & 0xFFFFFFFF
+                for i in range(0, 16, 4):
+                    if (col_mask & new_sig) == 0:
+                        col_mask <<= 4
+                        continue
+                    sample_mask = 0x1111 & col_mask
+                    for k in range(4):
+                        if new_sig & sample_mask:
+                            new_sig &= ~sample_mask & 0xFFFFFFFF
+                            bit = (int(mag[y + k, x + (i >> 2)])
+                                   >> (p - 1)) & 1
+                            spp.encode(bit, 1)
+                            if bit:
+                                new_sig |= (_SPP_SPREAD[k] << i) & inv_sig
+                        sample_mask <<= 1
+                    col_mask <<= 4
+                if new_sig:
+                    col_mask = 0xF
+                    for i in range(4):
+                        if (col_mask & new_sig) == 0:
+                            col_mask <<= 4
+                            continue
+                        sample_mask = 0x1111 & col_mask
+                        for k in range(4):
+                            if new_sig & sample_mask:
+                                spp.encode(int(sgn[y + k, x + i]), 1)
+                            sample_mask += sample_mask
+                        col_mask <<= 4
+
+            new_sig |= cs
+            prev_row_sig[gx] = new_sig & 0xFFFF
+
+            tt = new_sig & 0xFFFF
+            new_sig16 = tt | ((tt & 0x7777) << 1) | ((tt & 0xEEEE) >> 1)
+            prev = (new_sig16 | u) & 0xF000
+    spp.terminate()
+    out = bytes(spp.out)
+
+    # ---- MagRef pass (inverse of decoder.py:466-491) ---------------------
+    if num_passes > 2:
+        mrp = _MrpEncoder()
+        for sy in range(n_sy):
+            y = sy * 4
+            for gx2 in range(0, n_gx, 2):
+                x = gx2 * 4
+                sig32 = int(sig[sy, gx2]) \
+                    | ((int(sig[sy, gx2 + 1]) if gx2 + 1 < n_gx else 0)
+                       << 16)
+                if sig32:
+                    col_mask = 0xF
+                    for j in range(8):
+                        if sig32 & col_mask:
+                            sample_mask = 0x11111111 & col_mask
+                            for k in range(4):
+                                if sig32 & sample_mask:
+                                    sym = (int(mag[y + k, x + j])
+                                           >> (p - 1)) & 1
+                                    mrp.encode(sym, 1)
+                                sample_mask += sample_mask
+                        col_mask <<= 4
+        out += mrp.terminate()
+    return out
+
+
+def encode_codeblock_multipass(buf: np.ndarray, missing_msbs: int,
+                               width: int, height: int,
+                               num_passes: int = 3,
+                               stripe_causal: bool = False,
+                               bits: int = 32) -> tuple:
+    """Encode one codeblock as cleanup + SigProp [+ MagRef].
+
+    Returns (cleanup_segment, refinement_segment).  The caller signals
+    num_passes and both segment lengths in the packet header."""
+    seg1 = encode_codeblock(buf, missing_msbs, width, height, bits=bits)
+    seg2 = encode_spp_mrp(buf, missing_msbs, width, height,
+                          num_passes=num_passes,
+                          stripe_causal=stripe_causal, bits=bits)
+    return seg1, seg2

@@ -92,6 +92,8 @@ class TpuEncoder(Encoder):
     to the scalar Encoder path when the plan can't cover the stream."""
 
     def _build_enc_plan(self, geom) -> Optional[_EncPlan]:
+        if getattr(self, 'ht_passes', 1) != 1:
+            return None  # SigProp/MagRef emission: scalar host path
         groups: Dict[int, _EncGroup] = {}
         bands: List[tuple] = []
         comps = []

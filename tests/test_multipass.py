@@ -1,0 +1,115 @@
+"""Multi-pass (SigProp/MagRef) coding tests.
+
+The reference encoder is cleanup-only (ojph_block_encoder.cpp:548),
+but its decoder handles 2- and 3-pass HT blocks
+(ojph_block_decoder32.cpp:1318-1611).  Our encoder can emit those
+passes (encode(ht_passes=)), which makes ojph_expand usable as the
+ground-truth oracle for our SPP/MRP decode path — the only part of the
+Tier-1 decoder no reference-encoded stream can reach.
+"""
+import subprocess
+
+import numpy as np
+import pytest
+
+from conftest import ORACLE_BIN, requires_oracle, run_oracle
+
+from openjph_tpu import decode, encode
+from openjph_tpu.coding.decoder import decode_codeblock
+from openjph_tpu.coding.encoder import encode_codeblock_multipass
+from openjph_tpu.utils.imageio import read_pnm
+
+
+def _mixed_image(rng, w, h):
+    img = rng.randint(0, 256, (h, w)).astype(np.int32)
+    img[rng.rand(h, w) < 0.5] = 0
+    return img
+
+
+def test_block_selfconsistent_and_exact_when_covered(rng):
+    """Coding-layer inverse property: our decoder recovers what the
+    multipass encoder intended; samples covered by MagRef (mag >= 2)
+    and zeros are exact; mag==1 samples are either SPP-recovered
+    exactly or truncated to 0."""
+    W = H = 16
+    kmax = 8
+    mm = kmax - 2
+    for trial in range(10):
+        m = rng.randint(0, 1 << (kmax - 1), (H, W))
+        m[rng.rand(H, W) < 0.6] = 0
+        sgn = (rng.rand(H, W) < 0.5).astype(np.uint32)
+        buf = ((sgn << 31)
+               | (m.astype(np.uint32) << (31 - kmax))).astype(np.uint32)
+        if not m.any():
+            continue
+        for passes in (2, 3):
+            seg1, seg2 = encode_codeblock_multipass(
+                buf, mm, W, H, num_passes=passes)
+            dec = decode_codeblock(seg1 + seg2, mm, passes,
+                                   len(seg1), len(seg2), W, H)
+            dmag = (dec & 0x7FFFFFFF) >> (31 - kmax)
+            dsgn = (dec >> 31).astype(np.uint32)
+            assert (dmag[m == 0] == 0).all()
+            if passes == 3:
+                exact = m >= 2
+                assert np.array_equal(dmag[exact], m[exact])
+            assert np.isin(dmag[m == 1], (0, 1)).all()
+            sig = dmag > 0
+            assert np.array_equal(dsgn[sig], sgn[sig])
+
+
+@requires_oracle
+@pytest.mark.parametrize('passes,causal', [(2, False), (3, False),
+                                           (2, True), (3, True)])
+def test_multipass_oracle_parity(tmp_path, rng, passes, causal):
+    """ojph_expand's decode of our multi-pass streams equals ours
+    (modulo the reference app writers' range clamp,
+    ojph_img_io.cpp:106-113)."""
+    img = _mixed_image(rng, 150, 120)
+    s = encode(img, reversible=True, num_decomps=3,
+               ht_passes=passes, vert_causal=causal)
+    j2c = str(tmp_path / 'mp.j2c')
+    open(j2c, 'wb').write(s)
+    out = str(tmp_path / 'mp.pgm')
+    run_oracle('ojph_expand', '-i', j2c, '-o', out)
+    oracle = read_pnm(out).astype(np.int32)
+    mine = np.clip(decode(s)[0], 0, 255)
+    assert np.array_equal(oracle, mine)
+    # 3 passes cover plane 0 for every significant sample; this image
+    # round-trips losslessly through the truncating mode
+    if passes == 3:
+        assert np.array_equal(np.clip(img, 0, 255), mine)
+
+
+@requires_oracle
+def test_multipass_multitile_prog_orders(tmp_path, rng):
+    """Multi-pass blocks under multi-tile + non-default progression."""
+    img = _mixed_image(rng, 97, 83)
+    s = encode(img, reversible=True, num_decomps=2, ht_passes=3,
+               tile_size=(40, 40), prog_order=4)  # CPRL
+    j2c = str(tmp_path / 'mp.j2c')
+    open(j2c, 'wb').write(s)
+    out = str(tmp_path / 'mp.pgm')
+    run_oracle('ojph_expand', '-i', j2c, '-o', out)
+    assert np.array_equal(read_pnm(out).astype(np.int32),
+                          np.clip(decode(s)[0], 0, 255))
+
+
+def test_multipass_tpu_paths_agree(rng):
+    """The fused TPU decoder falls back per-block for multi-pass
+    streams and must match the host decoder; the TPU encoder falls
+    back to the scalar path and must produce the identical stream."""
+    from openjph_tpu import decode_tpu, encode_tpu
+    img = _mixed_image(rng, 130, 70)
+    s = encode(img, reversible=True, num_decomps=3, ht_passes=3)
+    s2 = encode_tpu(img, reversible=True, num_decomps=3, ht_passes=3)
+    assert s2 == s
+    a = decode(s)[0]
+    b = decode_tpu(s)[0]
+    assert np.array_equal(a, b)
+
+
+def test_ht_passes_validation():
+    from openjph_tpu.core.message import OjphError
+    with pytest.raises((OjphError, ValueError)):
+        encode(np.zeros((8, 8), np.int32), ht_passes=4)
