@@ -796,6 +796,8 @@ def build_encoder(shape, nc: int, bit_depth: int = 8,
         ds = downsamplings[c] if downsamplings else (1, 1)
         siz.comps.append(mk.CompInfo(bit_depth, is_signed, ds[0], ds[1]))
     cod = mk.Cod()
+    if isinstance(prog_order, str):  # "RPCL" etc., as in ojph_compress
+        prog_order = mk.ProgOrder[prog_order.upper()]
     cod.prog_order = prog_order
     cod.num_decomps = num_decomps
     cod.log_block_w = block_size[0].bit_length() - 1

@@ -531,10 +531,15 @@ struct MelEnc {  // ojph_block_encoder.cpp:273-347
   int run = 0;
   int k = 0;
   int threshold = 1;
+  bool ovf = false;  // capacity exceeded: caller must fall back
   inline void emit_bit(int v) {
     tmp = (tmp << 1) + static_cast<uint32_t>(v);
     if (--remaining_bits == 0) {
-      buf[len++] = static_cast<uint8_t>(tmp);
+      if (len >= static_cast<int>(sizeof(buf))) {
+        ovf = true;
+      } else {
+        buf[len++] = static_cast<uint8_t>(tmp);
+      }
       remaining_bits = (tmp == 0xFF) ? 7 : 8;
       tmp = 0;
     }
@@ -563,6 +568,7 @@ struct VlcEnc {  // backward-growing, ojph_block_encoder.cpp:352-407
   int used_bits = 4;
   uint32_t tmp = 0xF;
   bool last_gt_8f = true;
+  bool ovf = false;  // capacity exceeded: caller must fall back
   inline void encode(uint32_t cwd, int cwd_len) {
     while (cwd_len > 0) {
       int avail = 8 - (last_gt_8f ? 1 : 0) - used_bits;
@@ -577,6 +583,10 @@ struct VlcEnc {  // backward-growing, ojph_block_encoder.cpp:352-407
           last_gt_8f = false;
           continue;
         }
+        if (len >= static_cast<int>(sizeof(buf))) {
+          ovf = true;
+          return;
+        }
         buf[len++] = static_cast<uint8_t>(tmp);
         last_gt_8f = tmp > 0x8F;
         tmp = 0;
@@ -588,11 +598,13 @@ struct VlcEnc {  // backward-growing, ojph_block_encoder.cpp:352-407
 
 struct MsEnc {  // forward MagSgn, ojph_block_encoder.cpp:446-533
   uint8_t* buf;
+  int64_t cap;  // writable bytes in buf; exceeding sets ovf
   int64_t len = 0;
   int max_bits = 8;
   uint64_t tmp = 0;
   int used_bits = 0;
-  explicit MsEnc(uint8_t* b) : buf(b) {}
+  bool ovf = false;
+  MsEnc(uint8_t* b, int64_t c) : buf(b), cap(c) {}
   inline void encode(uint32_t cwd, int cwd_len) {
     while (cwd_len > 0) {
       int t = max_bits - used_bits;
@@ -602,6 +614,10 @@ struct MsEnc {  // forward MagSgn, ojph_block_encoder.cpp:446-533
       cwd >>= t;
       cwd_len -= t;
       if (used_bits >= max_bits) {
+        if (len >= cap) {
+          ovf = true;
+          return;
+        }
         buf[len++] = static_cast<uint8_t>(tmp);
         max_bits = (tmp == 0xFF) ? 7 : 8;
         tmp = 0;
@@ -614,7 +630,13 @@ struct MsEnc {  // forward MagSgn, ojph_block_encoder.cpp:446-533
       int t = max_bits - used_bits;
       tmp |= (0xFFu & ((1u << t) - 1)) << used_bits;
       used_bits += t;
-      if (tmp != 0xFF) buf[len++] = static_cast<uint8_t>(tmp);
+      if (tmp != 0xFF) {
+        if (len >= cap) {
+          ovf = true;
+          return;
+        }
+        buf[len++] = static_cast<uint8_t>(tmp);
+      }
     } else if (max_bits == 7) {
       --len;
     }
@@ -645,7 +667,7 @@ void pack_cleanup_segments(
     MelEnc mel;
     VlcEnc vlc;
     uint8_t* obuf = out + i * out_stride;
-    MsEnc ms(obuf);
+    MsEnc ms(obuf, out_stride);
     const int64_t np = pairs_real[i];
     const int8_t* me = mel_evts + i * pairs_stride * 3;
     const uint16_t* vc = vlc_cwds + i * pairs_stride * 6;
@@ -681,24 +703,24 @@ void pack_cleanup_segments(
         vlc.used_bits ? (0xFFu >> (8 - vlc.used_bits)) : 0;
     int mel_len = mel.len;
     int vlc_len = vlc.len;
-    bool fused = false;
-    if ((mel_mask | vlc_mask) != 0) {
+    if ((mel_mask | vlc_mask) != 0 &&
+        mel_len + 1 <= static_cast<int>(sizeof(mel.buf)) &&
+        vlc_len + 1 <= static_cast<int>(sizeof(vlc.buf))) {
       const uint32_t fuse = mel_tmp | vlc.tmp;
       if (((((fuse ^ mel_tmp) & mel_mask) |
             ((fuse ^ vlc.tmp) & vlc_mask)) == 0) &&
           fuse != 0xFF && vlc.len > 0) {
         mel.buf[mel_len++] = static_cast<uint8_t>(fuse);
-        fused = true;
       } else {
         mel.buf[mel_len++] = static_cast<uint8_t>(mel_tmp);
         vlc.buf[vlc_len++] = static_cast<uint8_t>(vlc.tmp);
       }
     }
-    (void)fused;
     ms.terminate();
     const int64_t num_bytes = mel_len + vlc_len + 1;  // + 0xFF sentinel
     const int64_t total = ms.len + num_bytes;
-    if (total + 2 > out_stride || num_bytes > 4079) {
+    if (mel.ovf || vlc.ovf || ms.ovf ||
+        total + 2 > out_stride || num_bytes > 4079) {
       out_lens[i] = 0;  // overflow: caller falls back
       continue;
     }
@@ -763,7 +785,7 @@ void pack_from_dense(int64_t n, const uint32_t* dense,
           rem -= take;
         }
       }
-      MsEnc ms(obuf);
+      MsEnc ms(obuf, out_stride);
       {
         int64_t rem = msbits;
         int64_t wi = 0;
@@ -782,7 +804,9 @@ void pack_from_dense(int64_t n, const uint32_t* dense,
           vlc.used_bits ? (0xFFu >> (8 - vlc.used_bits)) : 0;
       int mel_len = mel.len;
       int vlc_len = vlc.len;
-      if ((mel_mask | vlc_mask) != 0) {
+      if ((mel_mask | vlc_mask) != 0 &&
+          mel_len + 1 <= static_cast<int>(sizeof(mel.buf)) &&
+          vlc_len + 1 <= static_cast<int>(sizeof(vlc.buf))) {
         const uint32_t fuse = mel_tmp | vlc.tmp;
         if (((((fuse ^ mel_tmp) & mel_mask) |
               ((fuse ^ vlc.tmp) & vlc_mask)) == 0) &&
@@ -796,7 +820,8 @@ void pack_from_dense(int64_t n, const uint32_t* dense,
       ms.terminate();
       const int64_t num_bytes = mel_len + vlc_len + 1;
       const int64_t total = ms.len + num_bytes;
-      if (total + 2 > out_stride || num_bytes > 4079) {
+      if (mel.ovf || vlc.ovf || ms.ovf ||
+          total + 2 > out_stride || num_bytes > 4079) {
         out_lens[i] = 0;
         continue;
       }
