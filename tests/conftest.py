@@ -28,6 +28,37 @@ jax.config.update('jax_num_cpu_devices',
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Address-space pressure relief.  Every XLA:CPU executable JIT-loads
+# its fused-computation modules as anonymous r-x/r--/rw- mapping
+# triples; this suite compiles enough distinct programs that the
+# process walks into vm.max_map_count (65530 here) near the end.
+# Past the limit, mmap fails with ENOMEM inside LLVM
+# (ContiguousSectionMemoryManager::allocateMappedMemory) and the
+# failure path aborts the process — observed as SIGSEGV in
+# _Unwind_Backtrace over a half-registered .eh_frame, or SIGABRT
+# "LLVM compilation error: Cannot allocate memory".  Freed
+# executables DO unmap their sections, so when the map count gets
+# high we drop every cached executable (they recompile on next use)
+# rather than crash.
+import gc  # noqa: E402
+
+
+def _map_count() -> int:
+    try:
+        with open('/proc/self/maps') as fh:
+            return sum(1 for _ in fh)
+    except OSError:  # non-Linux
+        return 0
+
+
+@pytest.fixture(autouse=True)
+def _map_pressure_relief():
+    yield
+    if _map_count() > 35000:
+        import jax
+        jax.clear_caches()
+        gc.collect()
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -53,3 +84,20 @@ def run_oracle(tool, *args):
 @pytest.fixture
 def rng():
     return np.random.RandomState(1234)
+
+
+if os.environ.get('OJTPU_MEMLOG'):
+    # Temporary diagnostics: per-test address-space stats appended to
+    # $OJTPU_MEMLOG (map count, VmSize, VmRSS in MB).
+    @pytest.fixture(autouse=True)
+    def _memlog(request):
+        yield
+        nmaps = sum(1 for _ in open('/proc/self/maps'))
+        vm = rss = 0
+        for line in open('/proc/self/status'):
+            if line.startswith('VmSize:'):
+                vm = int(line.split()[1]) // 1024
+            elif line.startswith('VmRSS:'):
+                rss = int(line.split()[1]) // 1024
+        with open(os.environ['OJTPU_MEMLOG'], 'a') as fh:
+            fh.write(f'{nmaps}\t{vm}\t{rss}\t{request.node.nodeid}\n')
