@@ -120,20 +120,19 @@ def bench_oracle(stream_sets, frame_sets):
             subprocess.run([ORACLE, '-i', p, '-o', out],
                            check=True, capture_output=True)
         t_dec = min(t_dec, time.perf_counter() - t0)
-    # upload of the decoded burst (distinct buffers per repeat).
-    # device_put can report ready before the bytes actually move, so
-    # force a real device-side read of every element (sum) and fetch
-    # its scalar — the honest arrival time of the data in HBM.
-    import jax.numpy as jnp
-    touch = jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))
-    warm = np.zeros((NFRAMES, H, W), np.uint8)
-    np.asarray(touch(warm))  # compile outside the timed region
+    # upload of the decoded burst (distinct buffers per repeat) via
+    # the best transport available to a real consumer: device_put,
+    # blocked until the bytes are resident.  A warmup put first — the
+    # link ramps (long-fat-pipe window growth) and the baseline should
+    # be credited its steady-state bandwidth, like ours.
+    warm = jax.device_put(np.zeros((NFRAMES, H, W), np.uint8))
+    jax.block_until_ready(warm)
     t_up = float('inf')
     for r in range(3):
         burst = np.stack(
             [f.astype(np.uint8) + r for f in frame_sets[r % 2]])
         t0 = time.perf_counter()
-        np.asarray(touch(burst))
+        jax.block_until_ready(jax.device_put(burst))
         t_up = min(t_up, time.perf_counter() - t0)
     return MP / max(t_dec, t_up)
 

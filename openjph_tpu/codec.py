@@ -12,6 +12,8 @@ of streaming lines.
 from __future__ import annotations
 
 import struct
+import threading
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
@@ -90,6 +92,32 @@ def _tx_to_cb(plane: np.ndarray, kmax: int, delta_inv: float,
     return sign | val, val
 
 
+# Parsed-header + tile-geometry cache.  Geometry is a pure, immutable
+# function of the main header bytes; steady-state video re-parses the
+# same header every frame (the restart() reuse pattern,
+# ojph_codestream.h:109-122), so share one geometry across decoders.
+_GEOM_CACHE: 'OrderedDict[bytes, tuple]' = OrderedDict()
+_GEOM_CACHE_MAX = 32
+_GEOM_LOCK = threading.Lock()
+
+
+def _cached_geometry(data, hdr):
+    key = bytes(data[:hdr.header_size])
+    with _GEOM_LOCK:
+        ent = _GEOM_CACHE.get(key)
+        if ent is not None:
+            _GEOM_CACHE.move_to_end(key)
+            return ent
+    tile_rects = build_tile_grid(hdr.siz)
+    geoms = tuple(build_tile(hdr, i, tr)
+                  for i, tr in enumerate(tile_rects))
+    with _GEOM_LOCK:
+        _GEOM_CACHE[key] = (tile_rects, geoms)
+        while len(_GEOM_CACHE) > _GEOM_CACHE_MAX:
+            _GEOM_CACHE.popitem(last=False)
+    return tile_rects, geoms
+
+
 class Decoder:
     def __init__(self, data: bytes, resilient: bool = False,
                  skipped_res_for_read: int = 0,
@@ -102,10 +130,9 @@ class Decoder:
             if skipped_res_for_recon else skipped_res_for_read
         # restrict_input_resolution semantics
         # (ojph_codestream.h:288-306): skip_res_for_read >= for_recon
-        self.tile_rects = build_tile_grid(self.hdr.siz)
+        self.tile_rects, geoms = _cached_geometry(data, self.hdr)
         self.tiles: List[_TileState] = []
-        for i, tr in enumerate(self.tile_rects):
-            geom = build_tile(self.hdr, i, tr)
+        for i, geom in enumerate(geoms):
             st = _TileState(geom)
             for comp in geom.comps:
                 per_res = []

@@ -112,6 +112,46 @@ void prep_cleanup_streams(const uint8_t* data, const int64_t* offsets,
 
 namespace {
 
+// 8-bit bit-reversal table (for MSB-first emission via LSB-first
+// accumulator pushes).
+struct BitRev8 {
+  uint8_t t[256];
+  BitRev8() {
+    for (int v = 0; v < 256; ++v) {
+      uint8_t r = 0;
+      for (int j = 0; j < 8; ++j) r = static_cast<uint8_t>((r << 1) | ((v >> j) & 1));
+      t[v] = r;
+    }
+  }
+};
+const BitRev8 kRev;
+
+// Word-at-a-time dense bit emitter: bit k of the stream lands in
+// word[k>>5] bit (k&31).  ~4 ops per input byte vs 8 single-bit
+// pushes of BitWriter.
+struct AccWriter {
+  uint32_t* row;
+  uint64_t acc = 0;
+  int nbits = 0;
+  int64_t words = 0;
+  explicit AccWriter(uint32_t* r) : row(r) {}
+  inline void push(uint32_t v, int nb) {  // v's low nb bits, LSB-first
+    acc |= static_cast<uint64_t>(v) << nbits;
+    nbits += nb;
+    if (nbits >= 32) {
+      row[words++] = static_cast<uint32_t>(acc);
+      acc >>= 32;
+      nbits -= 32;
+    }
+  }
+  inline int64_t bitpos() const { return words * 32 + nbits; }
+  // write the partial word (high bits zero); returns #words written
+  inline int64_t flush() {
+    if (nbits > 0) row[words] = static_cast<uint32_t>(acc);
+    return words + (nbits > 0 ? 1 : 0);
+  }
+};
+
 // One lane's three unstuffed streams written straight at their final
 // positions in a shared dense word buffer (regions are disjoint, so
 // lanes parallelize freely).
@@ -122,49 +162,58 @@ inline void prep_one_dense(const uint8_t* d, int64_t lcup, int64_t scup,
   // ---- MEL: bytes [lcup-scup, lcup-1), MSB-first, last |= 0xF ----
   {
     uint32_t* row = dense + mo;
-    std::memset(row, 0, static_cast<size_t>(ml) * 4);
-    BitWriter bw(row);
+    AccWriter bw(row);
     const uint8_t* seg = d + (lcup - scup);
     const int64_t len = scup - 1;
     uint8_t prev = 0;
     for (int64_t k = 0; k < len; ++k) {
       uint8_t b = seg[k];
       if (k == len - 1) b |= 0xF;
-      bw.push_bits_msb(b, (prev == 0xFF) ? 6 : 7, 0);
+      if (prev == 0xFF)                       // 7 bits: 6..0 MSB-first
+        bw.push(kRev.t[(b << 1) & 0xFF], 7);
+      else                                    // 8 bits: 7..0 MSB-first
+        bw.push(kRev.t[b], 8);
       prev = b;
     }
-    fill_ones_from(row, bw.pos, ml);
+    const int64_t pos = bw.bitpos();
+    bw.flush();
+    fill_ones_from(row, pos, ml);
   }
   // ---- VLC backward: nibble of d[lcup-2], then bytes downward ----
   {
     uint32_t* row = dense + vo;
-    std::memset(row, 0, static_cast<size_t>(vl) * 4);
-    BitWriter bw(row);
+    AccWriter bw(row);
     const uint8_t nib_byte = d[lcup - 2];
     const uint32_t nib = nib_byte >> 4;
-    bw.push_bits_lsb(nib, ((nib & 7) == 7) ? 3 : 4);
+    bw.push(nib, ((nib & 7) == 7) ? 3 : 4);
     bool unstuff = (nib_byte | 0xF) > 0x8F;
     for (int64_t k = 0; k < scup - 2; ++k) {
       const uint8_t b = d[lcup - 3 - k];
       const int nb = 8 - ((unstuff && ((b & 0x7F) == 0x7F)) ? 1 : 0);
-      bw.push_bits_lsb(b, nb);
+      bw.push(b & ((1u << nb) - 1u), nb);
       unstuff = b > 0x8F;
     }
-    // fill stays zero
+    const int64_t wrote = bw.flush();
+    if (wrote < vl)  // fill stays zero
+      std::memset(row + wrote, 0, static_cast<size_t>(vl - wrote) * 4);
   }
   // ---- MagSgn forward: bytes [0, lcup-scup), LSB-first ----
   {
     uint32_t* row = dense + so;
-    std::memset(row, 0, static_cast<size_t>(sl) * 4);
-    BitWriter bw(row);
+    AccWriter bw(row);
     const int64_t len = lcup - scup;
     uint8_t prev = 0;
     for (int64_t k = 0; k < len; ++k) {
       const uint8_t b = d[k];
-      bw.push_bits_lsb(b, (prev == 0xFF) ? 7 : 8);
+      if (prev == 0xFF)
+        bw.push(b & 0x7F, 7);
+      else
+        bw.push(b, 8);
       prev = b;
     }
-    fill_ones_from(row, bw.pos, sl);
+    const int64_t pos = bw.bitpos();
+    bw.flush();
+    fill_ones_from(row, pos, sl);
   }
 }
 
