@@ -65,6 +65,11 @@ def _load():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p]
+        lib.build_seg_blob.restype = None
+        lib.build_seg_blob.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64]
         lib.pack_from_dense.restype = None
         lib.pack_from_dense.argtypes = [
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
@@ -134,6 +139,29 @@ def t2_parse_packet(data: np.ndarray, pos: int, data_left: int,
         1 if skip_data else 0,
         bands.ctypes.data, out_cb.ctypes.data, out_pos.ctypes.data,
         st.ctypes.data))
+
+
+def build_seg_blob(blob: bytes, offsets, lcups, scups, lane_off,
+                   out_size: int, nthreads: int = 0) -> np.ndarray:
+    """Lay out raw segment bytes for on-device unstuffing: each
+    lane's blob range is d[0:lcup-1] with byte lcup-2 OR'd 0xF.
+    Returns the uint8 blob."""
+    lib = _load()
+    assert lib is not None
+    n = len(offsets) - 1
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    lcups = np.ascontiguousarray(lcups, np.int64)
+    scups = np.ascontiguousarray(scups, np.int64)
+    lane_off = np.ascontiguousarray(lane_off, np.int64)
+    data = np.frombuffer(blob, dtype=np.uint8)
+    out = np.zeros(out_size, np.uint8)
+    if nthreads <= 0:
+        nthreads = min(8, os.cpu_count() or 1)
+    lib.build_seg_blob(
+        data.ctypes.data, offsets.ctypes.data, lcups.ctypes.data,
+        scups.ctypes.data, n, lane_off.ctypes.data,
+        out.ctypes.data, nthreads)
+    return out
 
 
 def prep_cleanup_dense(blob: bytes, offsets, lcups, scups, meta,

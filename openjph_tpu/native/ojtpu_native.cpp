@@ -247,6 +247,40 @@ void prep_cleanup_dense(const uint8_t* data, const int64_t* offsets,
   }
 }
 
+// Lay out the raw (still byte-stuffed) segment bytes of a lane batch
+// for ON-DEVICE unstuffing (tpu/unstuff.py): each lane's range of the
+// blob is d[0:lcup-1] verbatim except byte lcup-2 (the shared MEL-
+// last/VLC-nibble byte) OR'd with 0xF — transparent to the VLC
+// reader (its nibble is the high 4 bits, and its initial unstuff
+// test already ORs 0xF: ojph_block_decoder32.cpp dec_mel_st/
+// rev_struct init) and required by the MEL reader.  The MagSgn
+// stream is bytes [0, lcup-scup) of the range; MEL reads the rest
+// forward; VLC reads the rest backward.  Pure memcpy — all bit work
+// happens on the accelerator.
+void build_seg_blob(const uint8_t* data, const int64_t* offsets,
+                    const int64_t* lcups, const int64_t* scups,
+                    int64_t n, const int64_t* lane_off,
+                    uint8_t* blob, int64_t nthreads) {
+  (void)scups;
+  if (nthreads < 1) nthreads = 1;
+  auto work = [&](int64_t t) {
+    for (int64_t i = t; i < n; i += nthreads) {
+      const uint8_t* d = data + offsets[i];
+      const int64_t lcup = lcups[i];
+      uint8_t* o = blob + lane_off[i];
+      std::memcpy(o, d, static_cast<size_t>(lcup - 1));
+      o[lcup - 2] |= 0xF;
+    }
+  };
+  if (nthreads == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> ts;
+    for (int64_t t = 0; t < nthreads; ++t) ts.emplace_back(work, t);
+    for (auto& th : ts) th.join();
+  }
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

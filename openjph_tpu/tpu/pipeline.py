@@ -51,6 +51,26 @@ def _use_pallas() -> bool:
                        and not os.environ.get('OJTPU_NO_PALLAS'))
     return _USE_PALLAS
 
+
+_DEVICE_UNSTUFF: Optional[bool] = None
+
+
+def _device_unstuff() -> bool:
+    """Unstuff segment bytes ON the accelerator (tpu/unstuff.py): the
+    host ships raw coded bytes (the smallest possible transfer — the
+    host->device link is the serving bottleneck, BASELINE.md) and
+    skips its own unstuff pass.  Default on for real accelerator
+    backends; OJTPU_DEVICE_UNSTUFF=1/0 forces (tests exercise both
+    paths on CPU)."""
+    global _DEVICE_UNSTUFF
+    if _DEVICE_UNSTUFF is None:
+        env = os.environ.get('OJTPU_DEVICE_UNSTUFF')
+        if env is not None:
+            _DEVICE_UNSTUFF = env != '0'
+        else:
+            _DEVICE_UNSTUFF = jax.default_backend() != 'cpu'
+    return _DEVICE_UNSTUFF
+
 _MAX_BATCH = 4096
 
 
@@ -251,7 +271,8 @@ def _tx_from_cb_j(raw, kmax, delta, reversible):
     return jnp.where(neg, -val, val)
 
 
-def _make_runner(plan: _Plan, nframes: int = 1, shard=None):
+def _make_runner(plan: _Plan, nframes: int = 1, shard=None,
+                 device_unstuff: bool = False):
     """Trace the fused decode graph for `nframes` same-geometry frames
     batched along the codeblock lane axis (frame f of group g occupies
     lanes [f*n_pad, (f+1)*n_pad)); reconstruction carries a leading
@@ -273,6 +294,8 @@ def _make_runner(plan: _Plan, nframes: int = 1, shard=None):
     use_pallas = _use_pallas()
     if use_pallas:
         from .block_decode_pallas import decode_cleanup_pallas
+    if device_unstuff:
+        from .unstuff import unstuff_mel, unstuff_ms, unstuff_vlc
     wordss = [g.words for g in groups]
     lane_starts = []
     tl = 0
@@ -291,19 +314,30 @@ def _make_runner(plan: _Plan, nframes: int = 1, shard=None):
             s0 = lane_starts[i]
             mg = meta[:, s0:s0 + npad].reshape(F * npad, 8)
 
-            def unpack(oc, lc, W, guard):
-                off = mg[:, oc]
-                ln = mg[:, lc]
-                j = jnp.arange(W, dtype=jnp.int32)[None, :]
-                valid = j < ln[:, None]
-                idx = jnp.where(valid, off[:, None] + j, 0)
-                wv = jnp.take(words, idx, mode='clip')
-                return jnp.where(valid, wv, jnp.uint32(guard))
-
             wm, wv_, ws_ = wordss[i]
-            mel = unpack(0, 1, wm, 0xFFFFFFFF)
-            vlc = unpack(2, 3, wv_, 0)
-            ms = unpack(4, 5, ws_, 0xFFFFFFFF)
+            if device_unstuff:
+                # words is the raw segment blob (uint32 view);
+                # rebuild the dense windows on-device (meta columns:
+                # lane_off, ms_n, sh_n, 0, 0, 0, p, qhl)
+                lane_off = mg[:, 0]
+                ms_n = mg[:, 1]
+                sh_n = mg[:, 2]
+                ms = unstuff_ms(words, lane_off, ms_n, ws_)
+                mel = unstuff_mel(words, lane_off + ms_n, sh_n, wm)
+                vlc = unstuff_vlc(words, lane_off + ms_n, sh_n, wv_)
+            else:
+                def unpack(oc, lc, W, guard):
+                    off = mg[:, oc]
+                    ln = mg[:, lc]
+                    j = jnp.arange(W, dtype=jnp.int32)[None, :]
+                    valid = j < ln[:, None]
+                    idx = jnp.where(valid, off[:, None] + j, 0)
+                    wv = jnp.take(words, idx, mode='clip')
+                    return jnp.where(valid, wv, jnp.uint32(guard))
+
+                mel = unpack(0, 1, wm, 0xFFFFFFFF)
+                vlc = unpack(2, 3, wv_, 0)
+                ms = unpack(4, 5, ws_, 0xFFFFFFFF)
             p = mg[:, 6]
             qhl = mg[:, 7]
             if use_pallas:
@@ -456,11 +490,82 @@ def _pack_burst_fast(pairs):
 
 
 def _pack(pairs):
-    """Pack a burst of (decoder, plan) pairs into (words, meta)."""
+    """Pack a burst of (decoder, plan) pairs into (dense words, word
+    meta) for the host-unstuff runner."""
     from .. import native
     if native.have_native():
         return _pack_burst_fast(pairs)
     return _pack_burst([d._group_arrays(p) for d, p in pairs])
+
+
+def _pack_auto(pairs):
+    """Pack for the preferred runner mode.  Returns (device_unstuff,
+    (arg0, arg1)): raw-bytes blob + byte meta when unstuffing runs
+    on-device (the smaller upload), dense words + word meta
+    otherwise — including the rare fallback when a stream's stuffing
+    density would blow the unstuff kernel's K-candidate budget."""
+    if _device_unstuff():
+        r = _pack_device(pairs)
+        if r is not None:
+            return True, r
+    return False, _pack(pairs)
+
+
+def _pack_device(pairs):
+    """Raw-segment-bytes layout for on-device unstuffing: each
+    lane's blob range is d[0:lcup-1] (byte lcup-2 OR'd 0xF); the
+    accelerator derives all three bitstreams from it (MagSgn = first
+    lcup-scup bytes; MEL/VLC share the rest forward/backward).  meta
+    columns per lane = (lane_off, ms_n, sh_n, 0, 0, 0, p, qhl).
+    Returns None when any lane's worst-case deleted-bit count
+    exceeds unstuff.MAX_DELETED_BITS (caller falls back)."""
+    from . import unstuff
+    from .. import native
+    datas: list = []
+    lc, sc, pp, qq = [], [], [], []
+    for dec, plan in pairs:
+        d, l, scp, ps, qh = dec._lane_info(plan)
+        datas += d
+        lc.append(l)
+        sc.append(scp)
+        pp.append(ps)
+        qq.append(qh)
+    lcups = np.concatenate(lc)
+    scups = np.concatenate(sc)
+    p = np.concatenate(pp)
+    qhl = np.concatenate(qq)
+    sizes = lcups - 1
+    base = np.zeros_like(sizes)
+    np.cumsum(sizes[:-1], out=base[1:])
+    total = int(sizes.sum())
+    padded = 4 * _bucket_words(max((total + 3) // 4 + 1, 2))
+    offsets = np.zeros(len(datas) + 1, np.int64)
+    np.cumsum([len(d) for d in datas], out=offsets[1:])
+    raw = b''.join(datas)
+    if native.have_native():
+        blob = native.build_seg_blob(raw, offsets, lcups, scups, base,
+                                     padded)
+    else:
+        blob = np.zeros(padded, np.uint8)
+        a = np.frombuffer(raw, np.uint8)
+        for i in range(len(datas)):
+            lcup = int(lcups[i])
+            o = int(base[i])
+            blob[o:o + lcup - 1] = a[offsets[i]:offsets[i] + lcup - 1]
+            blob[o + lcup - 2] |= 0xF
+    # stuffing-density budget: deleted bits per stream <= the lane's
+    # count of 0x7F-low bytes (covers 0xFF for MEL/MagSgn and the
+    # VLC drop candidates) + 6 (nibble + edges)
+    ev = ((blob & 0x7F) == 0x7F).astype(np.int64)
+    per_lane = np.add.reduceat(ev, base)
+    if int(np.max(per_lane)) + 6 > unstuff.MAX_DELETED_BITS:
+        return None
+    meta = np.stack([base, lcups - scups, scups - 1,
+                     np.zeros_like(base), np.zeros_like(base),
+                     np.zeros_like(base),
+                     p.astype(np.int64), qhl.astype(np.int64)],
+                    axis=1).astype(np.int32)
+    return blob.view(np.uint32), meta.reshape(-1)
 
 
 class TpuDecoder(Decoder):
@@ -565,13 +670,13 @@ class TpuDecoder(Decoder):
 
 
     def _decode_fast(self, plan: _Plan) -> List[np.ndarray]:
-        runner = _RUNNERS.get((plan.key, 1))
+        with trace.stage('decode.host_prep'):
+            mode, (words, meta) = _pack_auto([(self, plan)])
+        runner = _RUNNERS.get((plan.key, 1, mode))
         if runner is None:
             with trace.stage('decode.compile'):
-                runner = _make_runner(plan, 1)
-            _RUNNERS[(plan.key, 1)] = runner
-        with trace.stage('decode.host_prep'):
-            words, meta = _pack([(self, plan)])
+                runner = _make_runner(plan, 1, device_unstuff=mode)
+            _RUNNERS[(plan.key, 1, mode)] = runner
         with trace.stage('decode.device'):
             errs, outs = runner(words, meta)
             if np.asarray(errs).any():
@@ -799,13 +904,13 @@ class VideoDecoder:
             return [d.decode() for d in decs]
         F = len(streams)
         key = plans[0].key
-        runner = _RUNNERS.get((key, F))
+        with trace.stage('decode.host_prep'):
+            mode, (words, meta) = _pack_auto(list(zip(decs, plans)))
+        runner = _RUNNERS.get((key, F, mode))
         if runner is None:
             with trace.stage('decode.compile'):
-                runner = _make_runner(plans[0], F)
-            _RUNNERS[(key, F)] = runner
-        with trace.stage('decode.host_prep'):
-            words, meta = _pack(list(zip(decs, plans)))
+                runner = _make_runner(plans[0], F, device_unstuff=mode)
+            _RUNNERS[(key, F, mode)] = runner
         with trace.stage('decode.dispatch'):
             if self.stage_uploads:
                 # stage the upload explicitly: device_put streams the
@@ -920,11 +1025,12 @@ def decode_tpu_batch(streams: List[bytes], resilient: bool = False,
             chunk = items[pos:pos + F]
             pos += F
             plan = chunk[0][2]
-            runner = _RUNNERS.get((key, F))
+            mode, (words, meta) = _pack_auto(
+                [(d, pl) for (_, d, pl) in chunk])
+            runner = _RUNNERS.get((key, F, mode))
             if runner is None:
-                runner = _make_runner(plan, F)
-                _RUNNERS[(key, F)] = runner
-            words, meta = _pack([(d, pl) for (_, d, pl) in chunk])
+                runner = _make_runner(plan, F, device_unstuff=mode)
+                _RUNNERS[(key, F, mode)] = runner
             errs, outs = runner(words, meta)
             if np.asarray(errs).any():
                 raise ValueError('U_q exceeds missing_msbs + 2')

@@ -1,0 +1,276 @@
+"""On-device byte-unstuffing for HT cleanup segments (gather-free).
+
+The decode pipeline's inputs are three byte-stuffed bitstreams per
+codeblock (MEL / VLC-backward / MagSgn, ojph_block_decoder32.cpp:
+63-723).  Host-side unstuffing inflates the upload (the dense word
+windows duplicate the MEL/VLC shared byte range and carry padding)
+and costs a host pass over every coded byte.  Here the host ships
+each lane's RAW bytes d[0:lcup-1] — exactly the coded size, the MEL
+and VLC readers share the suffix d[lcup-scup:lcup-1] — and the
+accelerator rebuilds the dense word streams of tpu/bitprep.py.
+
+TPU-first formulation: byte stuffing is a RARE-EVENT single-bit
+deletion (a byte after 0xFF carries 7 payload bits; VLC drops bit 7
+of a 0x7F-low byte after a >0x8F byte; the VLC nibble byte drops its
+low 4-5 bits).  So instead of per-lane variable-length repacking
+(gathers — slow on TPU), we:
+
+  1. pack every byte as-if-8-bits into words (pure elementwise),
+  2. mark deleted bit positions in a per-word 32-bit mask computed
+     from LOCAL byte predicates (the stuffing rule only looks one
+     byte back),
+  3. compress each word individually (delete-lowest-bit loop, a
+     PEXT in ~5 vector steps),
+  4. reassemble the variable-width compressed words into the output
+     stream with an exclusive prefix sum + K-candidate roll-select
+     (deleted bits are rare, so an output word's source window sits
+     at most K words ahead of it).
+
+Everything is elementwise/roll/cumsum over (lanes, words) arrays —
+VPU-shaped, no gathers except the initial per-lane contiguous word
+fetch (the same access pattern the decode kernel's input unpack
+already uses).  Streams whose deletion count could exceed the
+K-candidate budget (32*(K-2) deleted bits per stream; only crafted
+input gets close) must take the host-unstuff path — the packer
+checks this (pipeline._pack_device).
+
+Bit-exact against bitprep.prep_cleanup_streams_np
+(tests/test_unstuff.py).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+_U32 = jnp.uint32
+
+# K-candidate budget of the reassembly select: an output word's first
+# source word is at most K-2 words ahead (<= 32*(K-2) deleted bits per
+# stream); +2 for the second/third tap.
+_K = 8
+MAX_DELETED_BITS = 32 * (_K - 2)
+
+
+def _u32(x):
+    return jnp.asarray(x, _U32)
+
+
+def _bitrev8(b):
+    """Reverse the bits of a uint32-held byte (vector ops)."""
+    b = ((b & 0xF0) >> 4) | ((b & 0x0F) << 4)
+    b = ((b & 0xCC) >> 2) | ((b & 0x33) << 2)
+    b = ((b & 0xAA) >> 1) | ((b & 0x55) << 1)
+    return b
+
+
+def _shl(v, n):
+    """uint32 shift-left with n in [0, 32] (n == 32 -> 0)."""
+    n32 = jnp.clip(n, 0, 31).astype(_U32)
+    return jnp.where(n >= 32, _u32(0), v << n32)
+
+
+def _shr(v, n):
+    n32 = jnp.clip(n, 0, 31).astype(_U32)
+    return jnp.where(n >= 32, _u32(0), v >> n32)
+
+
+def _lane_words_fwd(blob32, byte_off, nwords):
+    """[L, nwords] uint32 little-endian views of each lane's bytes
+    starting at byte_off (any alignment).  blob32 is the uint8 blob
+    bitcast to uint32 (little-endian)."""
+    w0 = (byte_off >> 2).astype(jnp.int32)
+    ph = ((byte_off & 3) * 8).astype(_U32)[:, None]
+    j = jnp.arange(nwords + 1, dtype=jnp.int32)[None, :]
+    w = jnp.take(blob32, w0[:, None] + j, mode='clip')
+    lo = w[:, :-1] >> ph
+    hi = jnp.where(ph > 0, w[:, 1:] << (_u32(32) - ph), _u32(0))
+    return lo | hi
+
+
+def _lane_words_rev(blob32, byte_off, nbytes, nwords):
+    """[L, nwords] uint32 whose byte k is the lane's byte
+    (nbytes-1-k) — the reversed (emission-order) VLC view of the
+    shared range [byte_off, byte_off+nbytes)."""
+    # word j covers reversed bytes 4j..4j+3 = forward addresses
+    # byte_off+nbytes-4-4j .. byte_off+nbytes-1-4j; its LE32 at
+    # a = byte_off+nbytes-4-4j, byte-swapped.
+    a0 = byte_off + nbytes - 4
+    w0 = (a0 >> 2).astype(jnp.int32)         # a0 may go negative
+    ph = ((a0 & 3) * 8).astype(_U32)[:, None]
+    j = jnp.arange(nwords, dtype=jnp.int32)[None, :]
+    idx = w0[:, None] - j
+    wlo = jnp.take(blob32, jnp.clip(idx, 0, None), mode='clip')
+    whi = jnp.take(blob32, jnp.clip(idx + 1, 0, None), mode='clip')
+    le = (wlo >> ph) | jnp.where(ph > 0, whi << (_u32(32) - ph),
+                                 _u32(0))
+    # byte swap
+    le = ((le & 0x000000FF) << 24) | ((le & 0x0000FF00) << 8) | \
+         ((le & 0x00FF0000) >> 8) | ((le & _u32(0xFF000000)) >> 24)
+    return le
+
+
+def _split_bytes(wv):
+    """Four [L, W] byte planes of a little-endian word matrix."""
+    return (wv & 0xFF, (wv >> 8) & 0xFF, (wv >> 16) & 0xFF,
+            (wv >> 24) & 0xFF)
+
+
+def _delete_marked(w, d):
+    """Remove up to 8 marked bits from each 32-bit word, compacting
+    the remaining bits toward the LSB (delete-lowest-bit loop).
+    8 covers the worst case: the VLC nibble byte deletes 5 bits and
+    each of the word's other 3 bytes can delete 1."""
+    for _ in range(8):
+        b = d & (~d + _u32(1))              # lowest marked bit
+        mlow = b - _u32(1)                  # bits below it
+        w2 = (w & mlow) | ((w >> 1) & ~mlow)
+        d2 = (d >> 1) & ~mlow
+        keep = b == 0
+        w = jnp.where(keep, w, w2)
+        d = jnp.where(keep, d, d2)
+    return w
+
+
+def _assemble(vals, delmask, nvalid_bits, W, fill_ones):
+    """vals: [L, Wn] as-if-8-bit packed words; delmask: deleted bit
+    positions per word; nvalid_bits: [L] total pre-deletion bits.
+    Returns [L, W] compacted output words, filled with ones/zeros
+    past each lane's end."""
+    L, Wn = vals.shape
+    j32 = jnp.arange(Wn, dtype=jnp.int32)[None, :] * 32
+    valid_bits = jnp.clip(nvalid_bits[:, None] - j32, 0, 32)
+    # deletions can only be marked on valid bits (callers mask bytes)
+    cw = _delete_marked(vals, delmask)
+    nb = valid_bits - lax.population_count(delmask).astype(jnp.int32)
+    pos = jnp.cumsum(nb, axis=1) - nb       # exclusive prefix
+    total = pos[:, -1:] + nb[:, -1:]        # [L, 1]
+    t32 = jnp.arange(W, dtype=jnp.int32)[None, :] * 32
+
+    def roll_to_w(a, k):
+        """a[:, t+k] as a [L, W] array (out-of-range -> sentinel)."""
+        pad = jnp.full((L, _K + 3), np.int32(1 << 30), a.dtype) \
+            if a.dtype == jnp.int32 else jnp.zeros((L, _K + 3), a.dtype)
+        ext = jnp.concatenate([a, pad], axis=1)
+        return ext[:, k:k + W]
+
+    # k0(t): #candidates k in [0, K] with pos[t+k] <= 32t, minus 1
+    k0 = jnp.zeros((L, W), jnp.int32)
+    for k in range(_K + 1):
+        k0 = k0 + jnp.where(roll_to_w(pos, k) <= t32, 1, 0)
+    k0 = k0 - 1
+    # select source words i0 = t + k0, i0+1, i0+2 via where-chains
+    pos_sel = jnp.zeros((L, W), jnp.int32)
+    cw0 = jnp.zeros((L, W), _U32)
+    nb0 = jnp.zeros((L, W), jnp.int32)
+    cw1 = jnp.zeros((L, W), _U32)
+    nb1 = jnp.zeros((L, W), jnp.int32)
+    cw2 = jnp.zeros((L, W), _U32)
+    for k in range(_K + 1):
+        m = k0 == k
+        pos_sel = jnp.where(m, roll_to_w(pos, k), pos_sel)
+        cw0 = jnp.where(m, roll_to_w(cw, k), cw0)
+        nb0 = jnp.where(m, roll_to_w(nb, k), nb0)
+        cw1 = jnp.where(m, roll_to_w(cw, k + 1), cw1)
+        nb1 = jnp.where(m, roll_to_w(nb, k + 1), nb1)
+        cw2 = jnp.where(m, roll_to_w(cw, k + 2), cw2)
+    sh = t32 - pos_sel                       # in [0, 32)
+    a = nb0 - sh                             # bits taken from cw0
+    out = _shr(cw0, sh)
+    out = out | _shl(cw1, a)
+    out = out | _shl(cw2, a + nb1)
+    # mask garbage above each contributing word's payload is already
+    # zero (deleted bits compact toward LSB leaving zeros on top)
+    rem = jnp.clip(total - t32, 0, 32)
+    if fill_ones:
+        fmask = jnp.where(rem >= 32, _u32(0),
+                          _shl(_u32(0xFFFFFFFF), rem))
+        out = out | fmask
+    else:
+        keep = jnp.where(rem >= 32, _u32(0xFFFFFFFF),
+                         _shl(_u32(1), rem) - _u32(1))
+        out = out & keep
+    return out
+
+
+def unstuff_ms(blob32, byte_off, nbytes, W):
+    """MagSgn: bytes LSB-first, 7 bits after a 0xFF byte (the
+    dropped bit is the byte's bit 7 = its LAST as-if-8 emission);
+    ones fill."""
+    Wn = W
+    wv = _lane_words_fwd(blob32, byte_off, Wn)
+    k = jnp.arange(Wn, dtype=jnp.int32)[None, :]
+    bts = _split_bytes(wv)
+    prev = (jnp.pad(bts[3], ((0, 0), (1, 0)))[:, :-1],
+            bts[0], bts[1], bts[2])
+    delmask = jnp.zeros(wv.shape, _U32)
+    vals = jnp.zeros(wv.shape, _U32)
+    for m in range(4):
+        bidx = k * 4 + m
+        valid = bidx < nbytes[:, None]
+        pv = jnp.where((bidx > 0) & valid, prev[m], 0)
+        stuffed = valid & (pv == 0xFF)
+        delmask = delmask | jnp.where(stuffed,
+                                      _u32(1) << (8 * m + 7), _u32(0))
+        vals = vals | (jnp.where(valid, bts[m], 0) << (8 * m))
+    return _assemble(vals, delmask, nbytes * 8, W, True)
+
+
+def unstuff_mel(blob32, byte_off, nbytes, W):
+    """MEL: bytes MSB-first (bit-reversed into the LSB-first dense
+    stream), 7 bits after a 0xFF byte (dropping the byte's bit 7 =
+    its FIRST emission); ones fill.  The blob's last shared byte
+    already carries |= 0xF (build_seg_blob)."""
+    Wn = W
+    wv = _lane_words_fwd(blob32, byte_off, Wn)
+    k = jnp.arange(Wn, dtype=jnp.int32)[None, :]
+    bts = _split_bytes(wv)
+    prev = (jnp.pad(bts[3], ((0, 0), (1, 0)))[:, :-1],
+            bts[0], bts[1], bts[2])
+    delmask = jnp.zeros(wv.shape, _U32)
+    vals = jnp.zeros(wv.shape, _U32)
+    for m in range(4):
+        bidx = k * 4 + m
+        valid = bidx < nbytes[:, None]
+        pv = jnp.where((bidx > 0) & valid, prev[m], 0)
+        stuffed = valid & (pv == 0xFF)
+        delmask = delmask | jnp.where(stuffed,
+                                      _u32(1) << (8 * m), _u32(0))
+        vals = vals | (jnp.where(valid, _bitrev8(bts[m]), 0)
+                       << (8 * m))
+    return _assemble(vals, delmask, nbytes * 8, W, True)
+
+
+def unstuff_vlc(blob32, byte_off, nbytes, W):
+    """VLC backward over the shared range [byte_off, byte_off+nbytes)
+    read in REVERSE: emission byte 0 is the nibble byte (high nibble
+    LSB-first, 3 bits if (nib&7)==7 — modeled as deleting its low
+    4[+1] emissions), later bytes emit low 7/8 bits (bit 7 deleted
+    when the previous emitted byte was > 0x8F and this byte's low 7
+    bits are all ones; for emission byte 1 the previous byte is
+    nib|0xF, which the blob's |= 0xF already applied).  Zero fill."""
+    Wn = W
+    wv = _lane_words_rev(blob32, byte_off, nbytes, Wn)
+    k = jnp.arange(Wn, dtype=jnp.int32)[None, :]
+    bts = _split_bytes(wv)
+    prev = (jnp.pad(bts[3], ((0, 0), (1, 0)))[:, :-1],
+            bts[0], bts[1], bts[2])
+    delmask = jnp.zeros(wv.shape, _U32)
+    vals = jnp.zeros(wv.shape, _U32)
+    for m in range(4):
+        bidx = k * 4 + m
+        valid = bidx < nbytes[:, None]
+        b = bts[m]
+        pv = prev[m]
+        first = bidx == 0
+        drop = (~first) & valid & (pv > 0x8F) & ((b & 0x7F) == 0x7F)
+        delmask = delmask | jnp.where(drop,
+                                      _u32(1) << (8 * m + 7), _u32(0))
+        # nibble byte: delete emissions 0..3 (low nibble) and also
+        # emission 7 when (nib & 7) == 7 (3-bit prefix)
+        nib3 = ((b >> 4) & 7) == 7
+        nibmask = _u32(0xF) << (8 * m) | \
+            jnp.where(nib3, _u32(1) << (8 * m + 7), _u32(0))
+        delmask = delmask | jnp.where(first & valid, nibmask, _u32(0))
+        vals = vals | (jnp.where(valid, b, 0) << (8 * m))
+    return _assemble(vals, delmask, nbytes * 8, W, False)

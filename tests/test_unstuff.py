@@ -1,0 +1,101 @@
+"""On-device unstuffing (tpu/unstuff.py) parity with the host paths.
+
+The device kernel must rebuild EXACTLY the dense word streams of
+bitprep.prep_cleanup_streams_np (the verified host reference) from
+raw segment bytes, and the full fused decode with
+OJTPU_DEVICE_UNSTUFF forced on must stay bit-exact end-to-end.
+"""
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from openjph_tpu.tpu.bitprep import prep_cleanup_streams_np
+from openjph_tpu.tpu.unstuff import unstuff_mel, unstuff_ms, unstuff_vlc
+
+
+def _rand_segment(rng, lcup, scup):
+    """Random stuffing-legal segment bytes of length lcup with the
+    given scup (we only need reader-side legality: bytes are
+    arbitrary — the unstuffer must mirror the reader, which accepts
+    anything)."""
+    d = rng.randint(0, 256, lcup).astype(np.uint8)
+    # encode scup into the last two bytes like the real codestream
+    d[-1] = (scup >> 4) & 0xFF
+    d[-2] = (d[-2] & 0xF0) | (scup & 0xF)
+    return d
+
+
+@pytest.mark.parametrize('seed', [0, 1, 2])
+def test_unstuff_matches_numpy_reference(seed):
+    rng = np.random.RandomState(seed)
+    n = 64
+    lcups = rng.randint(4, 600, n)
+    scups = np.array([rng.randint(2, min(lc, 4079) + 1) for lc in lcups])
+    datas = [_rand_segment(rng, int(lc), int(sc))
+             for lc, sc in zip(lcups, scups)]
+    ref = prep_cleanup_streams_np(datas, lcups, scups)
+    wm, wv, ws = (ref['mel'].shape[1], ref['vlc'].shape[1],
+                  ref['ms'].shape[1])
+
+    # device layout: each lane's d[0:lcup-1], byte lcup-2 |= 0xF; the
+    # MEL and VLC streams share the suffix (forward/backward)
+    ms_n = lcups - scups
+    sh_n = scups - 1
+    sizes = lcups - 1
+    base = np.zeros_like(sizes)
+    np.cumsum(sizes[:-1], out=base[1:])
+    total = int(sizes.sum())
+    blob = np.zeros(-(-(total + 1) // 4) * 4, np.uint8)
+    for i, d in enumerate(datas):
+        lc = int(lcups[i])
+        o = int(base[i])
+        blob[o:o + lc - 1] = d[:lc - 1]
+        blob[o + lc - 2] |= 0xF
+    jb = jnp.asarray(blob.view(np.uint32))
+    boff = jnp.asarray(base, jnp.int32)
+    got_ms = np.asarray(unstuff_ms(
+        jb, boff, jnp.asarray(ms_n, jnp.int32), ws))
+    got_mel = np.asarray(unstuff_mel(
+        jb, boff + jnp.asarray(ms_n, jnp.int32),
+        jnp.asarray(sh_n, jnp.int32), wm))
+    got_vlc = np.asarray(unstuff_vlc(
+        jb, boff + jnp.asarray(ms_n, jnp.int32),
+        jnp.asarray(sh_n, jnp.int32), wv))
+    np.testing.assert_array_equal(got_ms, ref['ms'])
+    np.testing.assert_array_equal(got_mel, ref['mel'])
+    np.testing.assert_array_equal(got_vlc, ref['vlc'])
+
+
+def test_device_unstuff_pipeline_bit_exact(monkeypatch):
+    """Full fused decode with on-device unstuffing forced on (CPU)."""
+    import openjph_tpu.tpu.pipeline as P
+    from openjph_tpu import encode
+    monkeypatch.setattr(P, '_DEVICE_UNSTUFF', True)
+    rng = np.random.RandomState(7)
+    for shape, kw in [((120, 90), dict(reversible=True, num_decomps=3)),
+                      ((77, 65), dict(reversible=True, num_decomps=5,
+                                      block_size=(32, 32))),
+                      ((64, 300), dict(reversible=True, num_decomps=2,
+                                       block_size=(16, 64)))]:
+        img = rng.randint(0, 256, shape).astype(np.int32)
+        s = encode(img, bit_depth=8, **kw)
+        dec = P.TpuDecoder(s)
+        out = dec.decode()
+        np.testing.assert_array_equal(out[0], img)
+
+
+def test_device_unstuff_video_batch(monkeypatch):
+    import openjph_tpu.tpu.pipeline as P
+    from openjph_tpu import encode
+    monkeypatch.setattr(P, '_DEVICE_UNSTUFF', True)
+    rng = np.random.RandomState(9)
+    frames = [rng.randint(0, 256, (64, 96)).astype(np.int32)
+              for _ in range(4)]
+    streams = [encode(f, bit_depth=8, reversible=True, num_decomps=3)
+               for f in frames]
+    outs = P.decode_tpu_batch(streams)
+    for f, o in zip(frames, outs):
+        np.testing.assert_array_equal(o[0], f)
