@@ -303,7 +303,14 @@ def _make_runner(plan: _Plan, nframes: int = 1, shard=None,
         lane_starts.append(tl)
         tl += g.n_pad
 
-    def run(words, meta):
+    def run(*args):
+        if device_unstuff:
+            buf, = args
+            words = buf
+            meta = jax.lax.bitcast_convert_type(
+                buf[buf.shape[0] - F * tl * 8:], jnp.int32)
+        else:
+            words, meta = args
         meta = meta.reshape(F, tl, 8)
         if shard is not None:
             meta = jax.lax.with_sharding_constraint(meta, shard)
@@ -500,8 +507,8 @@ def _pack(pairs):
 
 def _pack_auto(pairs):
     """Pack for the preferred runner mode.  Returns (device_unstuff,
-    (arg0, arg1)): raw-bytes blob + byte meta when unstuffing runs
-    on-device (the smaller upload), dense words + word meta
+    args): a single raw-bytes+meta buffer when unstuffing runs
+    on-device (the smallest upload), (dense words, word meta)
     otherwise — including the rare fallback when a stream's stuffing
     density would blow the unstuff kernel's K-candidate budget."""
     if _device_unstuff():
@@ -556,8 +563,8 @@ def _pack_device(pairs):
     # stuffing-density budget: deleted bits per stream <= the lane's
     # count of 0x7F-low bytes (covers 0xFF for MEL/MagSgn and the
     # VLC drop candidates) + 6 (nibble + edges)
-    ev = ((blob & 0x7F) == 0x7F).astype(np.int64)
-    per_lane = np.add.reduceat(ev, base)
+    ev = ((blob & 0x7F) == 0x7F).view(np.uint8)
+    per_lane = np.add.reduceat(ev, base, dtype=np.int32)
     if int(np.max(per_lane)) + 6 > unstuff.MAX_DELETED_BITS:
         return None
     meta = np.stack([base, lcups - scups, scups - 1,
@@ -565,7 +572,11 @@ def _pack_device(pairs):
                      np.zeros_like(base),
                      p.astype(np.int64), qhl.astype(np.int64)],
                     axis=1).astype(np.int32)
-    return blob.view(np.uint32), meta.reshape(-1)
+    # single upload per burst: meta rides the blob's tail (the tunnel
+    # pays a latency roundtrip per transfer)
+    buf = np.concatenate([blob.view(np.uint32),
+                          meta.reshape(-1).view(np.uint32)])
+    return (buf,)
 
 
 class TpuDecoder(Decoder):
@@ -671,14 +682,14 @@ class TpuDecoder(Decoder):
 
     def _decode_fast(self, plan: _Plan) -> List[np.ndarray]:
         with trace.stage('decode.host_prep'):
-            mode, (words, meta) = _pack_auto([(self, plan)])
+            mode, args = _pack_auto([(self, plan)])
         runner = _RUNNERS.get((plan.key, 1, mode))
         if runner is None:
             with trace.stage('decode.compile'):
                 runner = _make_runner(plan, 1, device_unstuff=mode)
             _RUNNERS[(plan.key, 1, mode)] = runner
         with trace.stage('decode.device'):
-            errs, outs = runner(words, meta)
+            errs, outs = runner(*args)
             if np.asarray(errs).any():
                 raise ValueError('U_q exceeds missing_msbs + 2')
             tile_planes = {
@@ -881,6 +892,7 @@ class VideoDecoder:
         # caller's thread and with device compute.
         self._pool = ThreadPoolExecutor(max_workers=1)
         self._prep_pool = ThreadPoolExecutor(max_workers=1)
+        self._dispatch_pool = ThreadPoolExecutor(max_workers=1)
 
     def submit(self, streams: List[bytes]) -> None:
         """Enqueue a burst: Tier-2 parse, native bit-unstuff/pack,
@@ -905,29 +917,32 @@ class VideoDecoder:
         F = len(streams)
         key = plans[0].key
         with trace.stage('decode.host_prep'):
-            mode, (words, meta) = _pack_auto(list(zip(decs, plans)))
+            mode, args = _pack_auto(list(zip(decs, plans)))
         runner = _RUNNERS.get((key, F, mode))
         if runner is None:
             with trace.stage('decode.compile'):
                 runner = _make_runner(plans[0], F, device_unstuff=mode)
             _RUNNERS[(key, F, mode)] = runner
-        with trace.stage('decode.dispatch'):
-            if self.stage_uploads:
-                # stage the upload explicitly: device_put streams the
-                # bytes asynchronously instead of serializing the
-                # transfer with the dispatch
-                words = jax.device_put(words)
-                meta = jax.device_put(meta)
-            errs, outs = runner(words, meta)  # async dispatch
+        # upload + dispatch on their own worker: on tunneled backends
+        # the dispatch call blocks until its arguments are resident,
+        # which would stall THIS (prep) worker for a full wire
+        # transfer — burst k+1's parse/pack must overlap burst k's
+        # upload, not wait behind it.
+        def dispatch(runner=runner, args=args):
+            with trace.stage('decode.dispatch'):
+                if self.stage_uploads:
+                    args = tuple(jax.device_put(a) for a in args)
+                return runner(*args)
+        dfut = self._dispatch_pool.submit(dispatch)
         if self.to_device:
-            return (decs, errs, outs)
+            return (decs, dfut)
         # drain the device->host copies on a worker thread so the link
         # moves burst k downstream while burst k+1 uploads/computes;
         # collect() then only joins.  (jax fetches are thread-safe;
         # copy_to_host_async is not usable on every backend.)
         fut = self._pool.submit(
-            lambda e=errs, o=outs: (np.asarray(e),
-                                    jax.tree_util.tree_map(np.asarray, o)))
+            lambda d=dfut: tuple(
+                jax.tree_util.tree_map(np.asarray, d.result())))
         return (decs, fut)
 
     def collect(self) -> List[List[np.ndarray]]:
@@ -936,13 +951,11 @@ class VideoDecoder:
         if isinstance(item, list):
             return item
         with trace.stage('decode.fetch'):
-            if len(item) == 3:  # to_device burst, fetched synchronously
-                decs, errs, outs = item
+            decs, fut = item
+            errs, outs = fut.result()
+            if self.to_device:  # fetched synchronously here
                 errs = np.asarray(errs)
                 outs = jax.tree_util.tree_map(np.asarray, outs)
-            else:
-                decs, fut = item
-                errs, outs = fut.result()
         if errs.any():
             raise ValueError('U_q exceeds missing_msbs + 2')
         with trace.stage('decode.assemble'):
@@ -972,20 +985,20 @@ class VideoDecoder:
             raise ValueError(
                 'burst fell back to host decode (mixed geometry or '
                 'unsupported stream); use collect() for this burst')
-        decs, errs, outs = item
-        self._pending_errs.append(
-            self._pool.submit(lambda e=errs: np.asarray(e)))
-        # surface any error whose fetch already finished (non-blocking)
-        while self._pending_errs and self._pending_errs[0].done():
-            if self._pending_errs.pop(0).result().any():
-                raise ValueError('U_q exceeds missing_msbs + 2')
+        decs, dfut = item
+        errs, outs = dfut.result()
+        # keep the error flags device-resident: a d2h fetch costs a
+        # link roundtrip that would stall the upload stream; they are
+        # checked at drain_errors() (or any later collect if already
+        # materialized by the runtime)
+        self._pending_errs.append(errs)
         return outs
 
     def drain_errors(self) -> None:
         """Block until every outstanding Tier-1 error flag is checked;
         raises if any collected burst was corrupt."""
         while self._pending_errs:
-            if self._pending_errs.pop(0).result().any():
+            if np.asarray(self._pending_errs.pop(0)).any():
                 raise ValueError('U_q exceeds missing_msbs + 2')
 
     @property
@@ -1025,13 +1038,13 @@ def decode_tpu_batch(streams: List[bytes], resilient: bool = False,
             chunk = items[pos:pos + F]
             pos += F
             plan = chunk[0][2]
-            mode, (words, meta) = _pack_auto(
+            mode, args = _pack_auto(
                 [(d, pl) for (_, d, pl) in chunk])
             runner = _RUNNERS.get((key, F, mode))
             if runner is None:
                 runner = _make_runner(plan, F, device_unstuff=mode)
                 _RUNNERS[(key, F, mode)] = runner
-            errs, outs = runner(words, meta)
+            errs, outs = runner(*args)
             if np.asarray(errs).any():
                 raise ValueError('U_q exceeds missing_msbs + 2')
             for fi, (i, d, _) in enumerate(chunk):
