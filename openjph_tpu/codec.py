@@ -42,6 +42,9 @@ class _TileState:
     # coded[comp][res][band] -> list over the band codeblock grid
     coded: List[List[List[Optional[List[Optional[CodedBlock]]]]]] = \
         field(default_factory=list)
+    # record mode: rec[(c, r)][band] -> (int32 [ncb, 6] of (mmsbs,
+    # num_passes, len0, len1, included, nbytes), int64 [ncb] data pos)
+    rec: dict = field(default_factory=dict)
     next_tile_part: int = 0
     prec_iter: object = None
     pending: object = None  # next (comp, res, prec) not yet parsed
@@ -121,7 +124,8 @@ def _cached_geometry(data, hdr):
 class Decoder:
     def __init__(self, data: bytes, resilient: bool = False,
                  skipped_res_for_read: int = 0,
-                 skipped_res_for_recon: int = 0):
+                 skipped_res_for_recon: int = 0,
+                 record_t2: bool = False):
         self.data = data
         self.resilient = resilient
         self.hdr = mk.read_main_header(data)
@@ -130,22 +134,35 @@ class Decoder:
             if skipped_res_for_recon else skipped_res_for_read
         # restrict_input_resolution semantics
         # (ojph_codestream.h:288-306): skip_res_for_read >= for_recon
+        # record_t2: Tier-2 fills flat numpy record arrays instead of
+        # CodedBlock objects (the TPU fast path consumes arrays;
+        # CodedBlocks materialize lazily for slow paths).  Needs the
+        # native parser; resilience uses objects throughout.
+        from . import native
+        self.record_t2 = (record_t2 and not resilient
+                          and native.have_native())
         self.tile_rects, geoms = _cached_geometry(data, self.hdr)
         self.tiles: List[_TileState] = []
         for i, geom in enumerate(geoms):
             st = _TileState(geom)
-            for comp in geom.comps:
+            for c, comp in enumerate(geom.comps):
                 per_res = []
-                for res in comp.resolutions:
+                for r, res in enumerate(comp.resolutions):
                     per_band = []
+                    recs = {}
                     for b in range(4):
                         sb = res.bands[b]
                         if sb is None or sb.empty:
                             per_band.append(None)
                         else:
-                            per_band.append([None] *
-                                            (sb.num_cb_x * sb.num_cb_y))
+                            ncb = sb.num_cb_x * sb.num_cb_y
+                            per_band.append([None] * ncb)
+                            if self.record_t2:
+                                recs[b] = (np.zeros((ncb, 6), np.int32),
+                                           np.zeros(ncb, np.int64))
                     per_res.append(per_band)
+                    if self.record_t2:
+                        st.rec[(c, r)] = recs
                 st.coded.append(per_res)
             self.tiles.append(st)
         self._parse_tile_parts()
@@ -237,7 +254,33 @@ class Decoder:
             cod = self.hdr.get_cod(c)
             pos, data_left = parse_precinct(
                 res, pidx, st.coded[c][r], buf, pos, data_left,
-                cod.uses_sop, cod.uses_eph, skip_data=skip)
+                cod.uses_sop, cod.uses_eph, skip_data=skip,
+                records=st.rec.get((c, r)) if self.record_t2 else None)
+
+    def _materialize_coded(self):
+        """Record mode -> CodedBlock objects (lazily, for the slow
+        paths that walk st.coded); idempotent."""
+        if not self.record_t2:
+            return
+        buf = self.data
+        for st in self.tiles:
+            for (c, r), recs in st.rec.items():
+                for b, (rb, pb) in recs.items():
+                    coded = st.coded[c][r][b]
+                    for i in range(rb.shape[0]):
+                        mm, npss, l0, l1, inc, nb = (int(v)
+                                                     for v in rb[i])
+                        if not inc and npss == 0 and l0 == 0:
+                            continue
+                        cb = CodedBlock()
+                        cb.missing_msbs = mm
+                        cb.num_passes = npss
+                        cb.pass_length = [l0, l1]
+                        if nb:
+                            o = int(pb[i])
+                            cb.data = bytes(buf[o:o + nb])
+                        coded[i] = cb
+        self.record_t2 = False
 
     # -- Tier-1 + reconstruction -------------------------------------------
     def _decode_band(self, sb: SubbandGeom,
@@ -308,6 +351,7 @@ class Decoder:
 
     def decode_tile(self, tile_idx: int) -> List[np.ndarray]:
         """Returns per-component integer sample planes."""
+        self._materialize_coded()
         st = self.tiles[tile_idx]
         siz = self.hdr.siz
         nc = siz.num_comps

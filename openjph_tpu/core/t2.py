@@ -225,24 +225,32 @@ def parse_precinct(res: ResolutionGeom, prec_idx: int,
                    coded: List[List[Optional[CodedBlock]]],
                    buf, pos: int, data_left: int,
                    may_use_sop: bool, uses_eph: bool,
-                   skip_data: bool = False) -> Tuple[int, int]:
+                   skip_data: bool = False,
+                   records=None) -> Tuple[int, int]:
     """Parse one packet, filling CodedBlock records in ``coded``.
 
     Returns (new_pos, new_data_left).  Dispatches to the native C++
     parser (the hot host loop of decode) with this Python body as the
-    reference fallback."""
+    reference fallback.
+
+    ``records``: optional dict band->(rec int32 [ncb, 6], pos int64
+    [ncb]) filled VECTORIZED instead of building CodedBlock objects
+    (the TPU fast path consumes arrays; per-codeblock Python objects
+    are the dominant host cost of steady-state video decode).  rec
+    columns: (mmsbs, num_passes, len0, len1, included, nbytes)."""
     from .. import native
     if native.have_native():
         return _parse_precinct_native(res, prec_idx, coded, buf, pos,
                                       data_left, may_use_sop, uses_eph,
-                                      skip_data)
+                                      skip_data, records)
     return _parse_precinct_py(res, prec_idx, coded, buf, pos,
                               data_left, may_use_sop, uses_eph,
                               skip_data)
 
 
 def _parse_precinct_native(res, prec_idx, coded, buf, pos, data_left,
-                           may_use_sop, uses_eph, skip_data):
+                           may_use_sop, uses_eph, skip_data,
+                           records=None):
     from .. import native
     prec = res.precincts[prec_idx]
     bands = np.zeros((4, 7), np.int32)
@@ -267,7 +275,20 @@ def _parse_precinct_native(res, prec_idx, coded, buf, pos, data_left,
     if rc:
         exc, msg = _T2_ERRORS.get(rc, (ValueError, 'malformed packet'))
         raise exc(msg)
-    for i in range(int(st[2])):
+    n = int(st[2])
+    if records is not None:
+        out = out[:n]
+        opos = opos[:n]
+        for b in range(4):
+            sel = out[:, 0] == b
+            if not sel.any():
+                continue
+            rows = out[sel]
+            rb, pb = records[b]
+            rb[rows[:, 1]] = rows[:, 2:8]
+            pb[rows[:, 1]] = opos[sel]
+        return int(st[0]), int(st[1])
+    for i in range(n):
         b, idx, mm, npss, l0, l1, _inc, nb = (int(v) for v in out[i])
         cb = CodedBlock()
         cb.missing_msbs = mm

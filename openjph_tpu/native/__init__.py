@@ -70,6 +70,11 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64]
+        lib.build_seg_blob_ptrs.restype = None
+        lib.build_seg_blob_ptrs.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64]
         lib.pack_from_dense.restype = None
         lib.pack_from_dense.argtypes = [
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
@@ -142,19 +147,24 @@ def t2_parse_packet(data: np.ndarray, pos: int, data_left: int,
 
 
 def build_seg_blob(blob: bytes, offsets, lcups, scups, lane_off,
-                   out_size: int, nthreads: int = 0) -> np.ndarray:
+                   out_size: int, nthreads: int = 0,
+                   out: np.ndarray = None) -> np.ndarray:
     """Lay out raw segment bytes for on-device unstuffing: each
     lane's blob range is d[0:lcup-1] with byte lcup-2 OR'd 0xF.
-    Returns the uint8 blob."""
+    ``offsets[i]`` is lane i's position in ``blob`` (any extra
+    trailing entries are ignored).  Writes into ``out`` when given
+    (callers pack multiple frames into one buffer); returns the
+    uint8 blob."""
     lib = _load()
     assert lib is not None
-    n = len(offsets) - 1
+    lane_off = np.ascontiguousarray(lane_off, np.int64)
+    n = len(lane_off)
     offsets = np.ascontiguousarray(offsets, np.int64)
     lcups = np.ascontiguousarray(lcups, np.int64)
     scups = np.ascontiguousarray(scups, np.int64)
-    lane_off = np.ascontiguousarray(lane_off, np.int64)
     data = np.frombuffer(blob, dtype=np.uint8)
-    out = np.zeros(out_size, np.uint8)
+    if out is None:
+        out = np.zeros(out_size, np.uint8)
     if nthreads <= 0:
         nthreads = min(8, os.cpu_count() or 1)
     lib.build_seg_blob(
@@ -162,6 +172,28 @@ def build_seg_blob(blob: bytes, offsets, lcups, scups, lane_off,
         scups.ctypes.data, n, lane_off.ctypes.data,
         out.ctypes.data, nthreads)
     return out
+
+
+def build_seg_blob_ptrs(src_ptrs, lcups, lane_off, out: np.ndarray,
+                        nthreads: int = 0) -> np.ndarray:
+    """Pointer-batch blob builder: src_ptrs[i] is the absolute host
+    address of lane i's bytes (the caller keeps the owning buffers
+    alive).  Returns per-lane 0x7F-low byte counts (the device
+    unstuffer's deleted-bit budget), counted during the copy."""
+    lib = _load()
+    assert lib is not None
+    src_ptrs = np.ascontiguousarray(src_ptrs, np.int64)
+    lcups = np.ascontiguousarray(lcups, np.int64)
+    lane_off = np.ascontiguousarray(lane_off, np.int64)
+    n = len(lane_off)
+    ev = np.zeros(n, np.int64)
+    if nthreads <= 0:
+        nthreads = min(8, os.cpu_count() or 1)
+    lib.build_seg_blob_ptrs(
+        src_ptrs.ctypes.data, lcups.ctypes.data, n,
+        lane_off.ctypes.data, out.ctypes.data, ev.ctypes.data,
+        nthreads)
+    return ev
 
 
 def prep_cleanup_dense(blob: bytes, offsets, lcups, scups, meta,

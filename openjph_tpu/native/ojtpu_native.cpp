@@ -257,6 +257,42 @@ void prep_cleanup_dense(const uint8_t* data, const int64_t* offsets,
 // stream is bytes [0, lcup-scup) of the range; MEL reads the rest
 // forward; VLC reads the rest backward.  Pure memcpy — all bit work
 // happens on the accelerator.
+// Pointer-batch variant: src_ptrs[i] is the absolute host address of
+// lane i's segment bytes (lanes may come from different frame
+// buffers), and the copy pass also counts the lane's post-OR
+// 0x7F-low bytes (the on-device unstuffer's worst-case deleted-bit
+// budget, tpu/unstuff.py) — the count is free while the bytes are in
+// cache.  Lanes with lcup < 2 are skipped (dead lanes; the caller
+// writes their canonical dummy byte).
+void build_seg_blob_ptrs(const int64_t* src_ptrs, const int64_t* lcups,
+                         int64_t n, const int64_t* lane_off,
+                         uint8_t* blob, int64_t* ev_counts,
+                         int64_t nthreads) {
+  if (nthreads < 1) nthreads = 1;
+  auto work = [&](int64_t t) {
+    for (int64_t i = t; i < n; i += nthreads) {
+      const int64_t lcup = lcups[i];
+      uint8_t* o = blob + lane_off[i];
+      int64_t ev = 0;
+      if (lcup >= 2) {
+        const uint8_t* d = reinterpret_cast<const uint8_t*>(src_ptrs[i]);
+        std::memcpy(o, d, static_cast<size_t>(lcup - 1));
+        o[lcup - 2] |= 0xF;
+        for (int64_t k = 0; k < lcup - 1; ++k)
+          ev += ((o[k] & 0x7F) == 0x7F) ? 1 : 0;
+      }
+      ev_counts[i] = ev;
+    }
+  };
+  if (nthreads == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> ts;
+    for (int64_t t = 0; t < nthreads; ++t) ts.emplace_back(work, t);
+    for (auto& th : ts) th.join();
+  }
+}
+
 void build_seg_blob(const uint8_t* data, const int64_t* offsets,
                     const int64_t* lcups, const int64_t* scups,
                     int64_t n, const int64_t* lane_off,

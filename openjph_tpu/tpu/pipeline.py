@@ -123,6 +123,9 @@ class _Plan:
     bands: List[tuple]
     # per tile: (mct, (comp struct, ...))
     tiles: List[tuple]
+    # record-mode per-lane arrays in meta order (pos, lcup, scup, p,
+    # qhl); pos == -1 marks a dead/padding lane
+    lanes: object = None
 
 
 _RUNNERS: Dict[tuple, object] = {}
@@ -138,6 +141,8 @@ def _build_plan(dec: 'TpuDecoder',
     mesh (tile independence, ojph_codestream_local.cpp:120)."""
     if dec.resilient:
         return None
+    if getattr(dec, 'record_t2', False):
+        return _build_plan_records(dec, tile_indices)
     groups: Dict[int, _Group] = {}
     placements = []
     bands = []
@@ -257,6 +262,233 @@ def _build_plan(dec: 'TpuDecoder',
     key = (tuple((g.gid, g.w, g.h, g.n_pad, g.words) for g in glist),
            tuple(merged), tuple(bands), tuple(tiles))
     return _Plan(key, glist, merged, bands, tiles)
+
+
+# ---------------------------------------------------------------------------
+# Record-mode planner: the geometry walk is cached per stream header
+# (it is identical for every frame of a video); per-frame work is a
+# handful of vectorized numpy passes over the Tier-2 record arrays.
+# ---------------------------------------------------------------------------
+
+class _Skel:
+    __slots__ = ('groups', 'merged', 'bands', 'tiles')
+
+
+class _SkelGroup:
+    __slots__ = ('gid', 'w', 'h', 'n_pad', 'nm', 'qh_geom', 'segs')
+
+
+_SKELS: 'OrderedDict' = None
+
+
+def _plan_skeleton(dec, tile_indices):
+    """Geometry-only plan parts (groups' lane layout, placements,
+    bands, tiles), cached per (header bytes, skip, tiles, backend).
+    Returns None for layouts the fused path can't handle (DFS)."""
+    global _SKELS
+    from collections import OrderedDict
+    if _SKELS is None:
+        _SKELS = OrderedDict()
+    ck = (bytes(dec.data[:dec.hdr.header_size]), dec.skip_recon,
+          None if tile_indices is None else tuple(tile_indices),
+          _use_pallas())
+    if ck in _SKELS:
+        _SKELS.move_to_end(ck)
+        return _SKELS[ck]
+    skel = _build_skeleton(dec, tile_indices)
+    _SKELS[ck] = skel
+    while len(_SKELS) > 32:
+        _SKELS.popitem(last=False)
+    return skel
+
+
+def _build_skeleton(dec, tile_indices):
+    placements = []
+    bands = []
+    tiles = []
+    groups: Dict[int, _SkelGroup] = {}
+    sel_idx = (range(len(dec.tiles)) if tile_indices is None
+               else tile_indices)
+    for ti in sel_idx:
+        st = dec.tiles[ti]
+        tile_comps = []
+        for c, comp in enumerate(st.geom.comps):
+            cod = dec.hdr.get_cod(c)
+            rev = cod.is_reversible
+            skip = min(dec.skip_recon, comp.num_decomps)
+            top = comp.num_decomps - skip
+            res_specs = []
+            for r in range(top + 1):
+                res = comp.resolutions[r]
+                bids = []
+                for b in ([0] if r == 0 else [1, 2, 3]):
+                    sb = res.bands[b]
+                    if sb is None:
+                        return None  # Part-2 DFS layout: slow path
+                    bid = len(bands)
+                    bands.append((sb.rect.h, sb.rect.w, sb.kmax,
+                                  float(sb.delta), rev))
+                    bids.append(bid)
+                    grp0 = None
+                    seg_idx = []
+                    seg_qh = []
+                    run = None  # (gid, lane0, ncols, h_true, y0, x0)
+                    for g in sb.blocks:
+                        grp = groups.get(g.rect.w)
+                        if grp is None:
+                            grp = _SkelGroup()
+                            grp.gid = len(groups)
+                            grp.w = g.rect.w
+                            grp.h = 0
+                            grp.nm = 0
+                            grp.qh_geom = []
+                            grp.segs = []
+                            groups[g.rect.w] = grp
+                        if grp0 is not None and grp is not grp0 \
+                                and seg_idx:
+                            grp0.segs.append(
+                                (ti, c, r, b,
+                                 np.asarray(seg_idx, np.int64)))
+                            grp0.qh_geom += seg_qh
+                            seg_idx, seg_qh = [], []
+                        grp0 = grp
+                        lane = grp.nm
+                        grp.nm += 1
+                        grp.h = max(grp.h, g.rect.h)
+                        seg_idx.append(g.cb_y * sb.num_cb_x + g.cb_x)
+                        seg_qh.append((g.rect.h + 1) >> 1)
+                        y0 = g.rect.y0 - sb.rect.y0
+                        x0 = g.rect.x0 - sb.rect.x0
+                        if run is not None and run[0] == grp.gid \
+                                and run[3] == g.rect.h \
+                                and run[4] == y0 \
+                                and run[5] + run[2] * g.rect.w == x0 \
+                                and lane == run[1] + run[2]:
+                            run = (run[0], run[1], run[2] + 1, run[3],
+                                   run[4], run[5])
+                        else:
+                            if run is not None:
+                                placements.append(run + (bid,))
+                            run = (grp.gid, lane, 1, g.rect.h, y0, x0)
+                    if run is not None:
+                        placements.append(run + (bid,))
+                    if grp0 is not None and seg_idx:
+                        grp0.segs.append(
+                            (ti, c, r, b, np.asarray(seg_idx, np.int64)))
+                        grp0.qh_geom += seg_qh
+                h_even = (res.rect.x0 & 1) == 0
+                v_even = (res.rect.y0 & 1) == 0
+                res_specs.append((tuple(bids), h_even, v_even))
+            tile_comps.append((tuple(res_specs), rev,
+                               dec.hdr.siz.comps[c].bit_depth,
+                               dec.hdr.siz.comps[c].is_signed,
+                               dec.hdr.nlt.type3_for(c),
+                               cod.kernel))
+        nc = dec.hdr.siz.num_comps
+        mct = dec.hdr.cod.mc_trans == 1 and nc >= 3
+        tiles.append((mct, tuple(tile_comps), dec.skip_recon == 0))
+
+    glist = sorted(groups.values(), key=lambda g: g.gid)
+    for grp in glist:
+        grp.n_pad = _bucket(grp.nm, lo=128 if _use_pallas() else 8)
+        grp.qh_geom = np.asarray(grp.qh_geom, np.int32)
+
+    merged = []
+    for (gid, lane0, ncols, h_t, y0, x0, bid) in placements:
+        if merged:
+            m = merged[-1]
+            if m[0] == gid and m[6] == bid and m[3] == ncols \
+                    and m[4] == h_t and m[7] == x0 \
+                    and m[5] + m[2] * h_t == y0 \
+                    and m[1] + m[2] * ncols == lane0:
+                merged[-1] = (m[0], m[1], m[2] + 1, m[3], m[4], m[5],
+                              m[6], m[7])
+                continue
+        merged.append((gid, lane0, 1, ncols, h_t, y0, bid, x0))
+
+    skel = _Skel()
+    skel.groups = glist
+    skel.merged = merged
+    skel.bands = bands
+    skel.tiles = tiles
+    return skel
+
+
+def _build_plan_records(dec, tile_indices=None) -> Optional[_Plan]:
+    """Per-frame plan from the Tier-2 record arrays (record_t2 mode):
+    the geometry walk comes from the skeleton cache; this function is
+    a few vectorized passes over [lanes]-sized arrays."""
+    skel = _plan_skeleton(dec, tile_indices)
+    if skel is None:
+        return None
+    buf = np.frombuffer(dec.data, np.uint8)
+    glist = []
+    key_groups = []
+    pos_l, lcup_l, scup_l, p_l, qhl_l = [], [], [], [], []
+    for g in skel.groups:
+        rows = np.empty((g.nm, 6), np.int32)
+        poss = np.empty(g.nm, np.int64)
+        at = 0
+        for (ti, c, r, b, idx) in g.segs:
+            rb, pb = dec.tiles[ti].rec[(c, r)][b]
+            k = len(idx)
+            rows[at:at + k] = rb[idx]
+            poss[at:at + k] = pb[idx]
+            at += k
+        mm = rows[:, 0]
+        npss = rows[:, 1]
+        l0 = rows[:, 2]
+        inc = rows[:, 4]
+        nb = rows[:, 5]
+        dead = (inc == 0) | (npss == 0) | (l0 == 0) | (nb == 0)
+        live = ~dead
+        if bool(np.any(live & ((npss > 1) | (mm >= 30) | (l0 < 2)))):
+            return None  # refinement passes / >30 planes: slow path
+        last = np.where(live, poss + l0, 2)
+        scup = ((buf[last - 1].astype(np.int32) << 4)
+                + (buf[last - 2] & 0xF))
+        if bool(np.any(live & ((scup < 2) | (scup > l0)
+                               | (scup > 4079)))):
+            return None
+        pad = g.n_pad - g.nm
+        lcup_a = np.where(live, l0, 2).astype(np.int64)
+        scup_a = np.where(live, scup, 2).astype(np.int64)
+        pos_a = np.where(live, poss, -1)
+        p_a = np.where(live, 30 - mm, 30).astype(np.int32)
+        qhl_a = np.where(live, g.qh_geom, 0).astype(np.int32)
+        if pad:
+            lcup_a = np.concatenate(
+                [lcup_a, np.full(pad, 2, np.int64)])
+            scup_a = np.concatenate(
+                [scup_a, np.full(pad, 2, np.int64)])
+            pos_a = np.concatenate([pos_a, np.full(pad, -1, np.int64)])
+            p_a = np.concatenate([p_a, np.full(pad, 30, np.int32)])
+            qhl_a = np.concatenate([qhl_a, np.zeros(pad, np.int32)])
+        if bool(live.any()):
+            smax = int(scup_a[:g.nm][live].max())
+            msmax = int((lcup_a[:g.nm] - scup_a[:g.nm])[live].max())
+            wm = _bucket(((smax - 1) * 8 + 31) // 32 + 2)
+            wv = _bucket((4 + (smax - 2) * 8 + 31) // 32 + 2)
+            ws = _bucket((msmax * 8 + 31) // 32 + 2)
+            words = (wm, wv, ws)
+        else:
+            words = (8, 8, 8)
+        grp = _Group(g.gid, g.w, g.h, members=[None] * g.nm,
+                     n_pad=g.n_pad, words=words)
+        glist.append(grp)
+        key_groups.append((g.gid, g.w, g.h, g.n_pad, words))
+        pos_l.append(pos_a)
+        lcup_l.append(lcup_a)
+        scup_l.append(scup_a)
+        p_l.append(p_a)
+        qhl_l.append(qhl_a)
+    key = (tuple(key_groups), tuple(skel.merged), tuple(skel.bands),
+           tuple(skel.tiles))
+    plan = _Plan(key, glist, skel.merged, skel.bands, skel.tiles)
+    plan.lanes = (np.concatenate(pos_l), np.concatenate(lcup_l),
+                  np.concatenate(scup_l), np.concatenate(p_l),
+                  np.concatenate(qhl_l))
+    return plan
 
 
 def _tx_from_cb_j(raw, kmax, delta, reversible):
@@ -496,6 +728,47 @@ def _pack_burst_fast(pairs):
     return dense, meta.reshape(-1)
 
 
+def _pack_device_records(pairs):
+    """Record-mode blob pack: per-lane byte positions come straight
+    from plan.lanes (no per-codeblock Python objects, no bytes
+    copies — the native builder memcpys directly out of each frame's
+    stream buffer)."""
+    from . import unstuff
+    from .. import native
+    lcall = np.concatenate([p.lanes[1] for _, p in pairs])
+    scall = np.concatenate([p.lanes[2] for _, p in pairs])
+    pall = np.concatenate([p.lanes[3] for _, p in pairs])
+    qall = np.concatenate([p.lanes[4] for _, p in pairs])
+    sizes = lcall - 1
+    base = np.zeros_like(sizes)
+    np.cumsum(sizes[:-1], out=base[1:])
+    total = int(sizes.sum())
+    padded = 4 * _bucket_words(max((total + 3) // 4 + 1, 2))
+    blob = np.zeros(padded, np.uint8)
+    ptr_l = []
+    for dec, plan in pairs:
+        pos = plan.lanes[0]
+        buf = np.frombuffer(dec.data, np.uint8)
+        # dead lanes (pos < 0) get lcup < 2 via the sentinel pointer 0
+        ptr_l.append(np.where(pos >= 0, buf.ctypes.data + pos, 0))
+    ptrs = np.concatenate(ptr_l)
+    lc_eff = np.where(ptrs != 0, lcall, 0)
+    ev = native.build_seg_blob_ptrs(ptrs, lc_eff, base, blob)
+    dead = ptrs == 0
+    if dead.any():
+        # canonical dummy segment byte for dead/padding lanes
+        blob[base[dead]] = 0x0F
+    if int(np.max(ev)) + 6 > unstuff.MAX_DELETED_BITS:
+        return None
+    z = np.zeros_like(base)
+    meta = np.stack([base, lcall - scall, scall - 1, z, z, z,
+                     pall.astype(np.int64), qall.astype(np.int64)],
+                    axis=1).astype(np.int32)
+    buf = np.concatenate([blob.view(np.uint32),
+                          meta.reshape(-1).view(np.uint32)])
+    return (buf,)
+
+
 def _pack(pairs):
     """Pack a burst of (decoder, plan) pairs into (dense words, word
     meta) for the host-unstuff runner."""
@@ -528,6 +801,9 @@ def _pack_device(pairs):
     exceeds unstuff.MAX_DELETED_BITS (caller falls back)."""
     from . import unstuff
     from .. import native
+    if native.have_native() and \
+            all(p.lanes is not None for _, p in pairs):
+        return _pack_device_records(pairs)
     datas: list = []
     lc, sc, pp, qq = [], [], [], []
     for dec, plan in pairs:
@@ -580,7 +856,15 @@ def _pack_device(pairs):
 
 
 class TpuDecoder(Decoder):
-    """Decoder whose Tier-1 + reconstruction run on the accelerator."""
+    """Decoder whose Tier-1 + reconstruction run on the accelerator.
+
+    Tier-2 runs in record mode (flat numpy arrays, no per-codeblock
+    Python objects) — the fused planner/packer consume the arrays
+    directly; slow paths materialize CodedBlocks lazily."""
+
+    def __init__(self, data: bytes, **kwargs):
+        kwargs.setdefault('record_t2', True)
+        super().__init__(data, **kwargs)
 
     def decode(self) -> List[np.ndarray]:
         if self._any_wide_band():
@@ -616,27 +900,47 @@ class TpuDecoder(Decoder):
         """Host prep per group: padded word planes + per-lane dense
         lengths (upper bounds; rows carry the correct guard fill
         beyond them) + p/qh_lim."""
+        if plan.lanes is None:
+            self._materialize_coded()
         out = []
+        s0 = 0
         for g in plan.groups:
-            n = len(g.members)
-            pad = g.n_pad - n
-            datas = [bytes(m[0].data) if m[0] is not None
-                     else self._DUMMY for m in g.members]
-            lcups = np.array([m[0].pass_length[0] if m[0] is not None
-                              else 2 for m in g.members], np.int64)
-            miss = np.array([m[0].missing_msbs if m[0] is not None
-                             else 0 for m in g.members], np.int32)
-            scups = np.array([m[1] if m[0] is not None else 2
-                              for m in g.members], np.int64)
-            datas += [self._DUMMY] * pad
-            lcups = np.concatenate([lcups, np.full(pad, 2, np.int64)])
-            miss = np.concatenate([miss, np.zeros(pad, np.int32)])
-            scups = np.concatenate([scups, np.full(pad, 2, np.int64)])
+            if plan.lanes is not None:  # record-mode plan
+                posa, lcupa, scupa, pa, qhla = plan.lanes
+                sl = slice(s0, s0 + g.n_pad)
+                s0 += g.n_pad
+                buf = self.data
+                datas = [bytes(buf[posa[i]:posa[i] + lcupa[i]])
+                         if posa[i] >= 0 else self._DUMMY
+                         for i in range(sl.start, sl.stop)]
+                lcups = lcupa[sl].copy()
+                scups = scupa[sl].copy()
+                miss = (30 - pa[sl]).astype(np.int32)
+                qhl = qhla[sl].copy()
+            else:
+                n = len(g.members)
+                pad = g.n_pad - n
+                datas = [bytes(m[0].data) if m[0] is not None
+                         else self._DUMMY for m in g.members]
+                lcups = np.array([m[0].pass_length[0]
+                                  if m[0] is not None
+                                  else 2 for m in g.members], np.int64)
+                miss = np.array([m[0].missing_msbs
+                                 if m[0] is not None
+                                 else 0 for m in g.members], np.int32)
+                scups = np.array([m[1] if m[0] is not None else 2
+                                  for m in g.members], np.int64)
+                datas += [self._DUMMY] * pad
+                lcups = np.concatenate(
+                    [lcups, np.full(pad, 2, np.int64)])
+                miss = np.concatenate([miss, np.zeros(pad, np.int32)])
+                scups = np.concatenate(
+                    [scups, np.full(pad, 2, np.int64)])
+                qhl = np.concatenate([np.array(g.qh_lims, np.int32),
+                                      np.zeros(pad, np.int32)])
             streams = prep_cleanup_streams(datas, lcups, scups,
                                            min_words=g.words)
             wm, wv, ws = g.words
-            qhl = np.concatenate([np.array(g.qh_lims, np.int32),
-                                  np.zeros(pad, np.int32)])
             out.append({
                 'mel': streams['mel'], 'vlc': streams['vlc'],
                 'ms': streams['ms'],
@@ -654,6 +958,15 @@ class TpuDecoder(Decoder):
     def _lane_info(self, plan: _Plan):
         """Per-lane raw segment info in meta order (groups in gid
         order, members then padding), for the native dense prep."""
+        if plan.lanes is not None:  # record-mode plan: slice the data
+            pos, lcup, scup, ps, qhl = plan.lanes
+            buf = self.data
+            datas = [bytes(buf[pos[i]:pos[i] + lcup[i]])
+                     if pos[i] >= 0 else self._DUMMY
+                     for i in range(len(pos))]
+            return (datas, lcup.copy(), scup.copy(),
+                    ps.copy(), qhl.copy())
+        self._materialize_coded()
         datas, lcups, scups, ps, qhls = [], [], [], [], []
         for g in plan.groups:
             for m in g.members:
@@ -700,6 +1013,7 @@ class TpuDecoder(Decoder):
 
     # -- slow path (resilient / refinement passes / 64-bit) ---------------
     def _decode_all_blocks(self):
+        self._materialize_coded()
         groups: Dict[Tuple[int, int], List] = {}
         for ti, st in enumerate(self.tiles):
             for c, comp in enumerate(st.geom.comps):
