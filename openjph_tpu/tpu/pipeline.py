@@ -9,8 +9,11 @@ cropped garbage (the scan is forward-only, so earlier rows are
 unaffected) — giving one kernel launch per distinct block width, and
 the entire frame decode is a single XLA dispatch.  A `_Plan` captures
 the stream geometry; the traced runner is cached per plan key, so
-steady-state video decode is: native C++ unstuff (host) -> upload ->
-one dispatch -> download.
+steady-state video decode is: vectorized Tier-2 over record arrays
+(host, ~2ms/frame) -> raw segment bytes upload (exactly the coded
+size) -> one dispatch that unstuffs on-device (tpu/unstuff.py),
+block-decodes, dequantizes, DWT-synthesizes and converts -> frames
+stay in HBM (to_device) or stream back.
 
 The byte-level Tier-2 machinery stays on the host (codec.py), exactly
 where the reference keeps its packet parser

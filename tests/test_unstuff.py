@@ -99,3 +99,23 @@ def test_device_unstuff_video_batch(monkeypatch):
     outs = P.decode_tpu_batch(streams)
     for f, o in zip(frames, outs):
         np.testing.assert_array_equal(o[0], f)
+
+
+def test_budget_fallback_roundtrip(monkeypatch):
+    """A burst whose stuffing density exceeds the unstuff kernel's
+    K-candidate budget must fall back to the host-unstuff runner and
+    still decode bit-exact (forced by shrinking the budget)."""
+    import openjph_tpu.tpu.pipeline as P
+    import openjph_tpu.tpu.unstuff as U
+    from openjph_tpu import encode
+    monkeypatch.setattr(P, '_DEVICE_UNSTUFF', True)
+    monkeypatch.setattr(U, 'MAX_DELETED_BITS', 1)
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (128, 128)).astype(np.int32)
+    s = encode(img, bit_depth=8, reversible=True, num_decomps=3)
+    dec = P.TpuDecoder(s)
+    plan = P._build_plan(dec)
+    mode, args = P._pack_auto([(dec, plan)])
+    assert mode is False  # fell back to the dense-words path
+    out = P.decode_tpu(s)
+    np.testing.assert_array_equal(out[0], img)
