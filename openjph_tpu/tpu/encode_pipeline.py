@@ -44,19 +44,24 @@ def _ebucket(n: int) -> int:
     return -(-n // 128) * 128
 
 
-@partial(jax.jit, static_argnums=(3,))
-def _compact_words(planes, seg_off, seg_base, D: int):
+_CHUNK = 32  # words; every cap is a multiple of 32 (_ebucket)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _compact_chunks(planes, chunk_idx, Dch: int):
     """Gather the used prefix of every (lane, stream) word row into
-    one dense buffer: out[j] = src[seg_base[s] + j - seg_off[s]] where
-    s is the segment containing j.  Runs on device so only ~coded-size
-    bytes cross the host link."""
-    src = jnp.concatenate([x.reshape(-1) for x in planes])
-    j = jnp.arange(D, dtype=jnp.int32)
-    seg = jnp.searchsorted(seg_off, j, side='right') \
-        .astype(jnp.int32) - 1
-    k = j - jnp.take(seg_off, seg, mode='clip')
-    idx = jnp.take(seg_base, seg, mode='clip') + k
-    return jnp.take(src, idx, mode='clip')
+    one dense buffer at CHUNK (32-word) granularity: the host
+    precomputes the chunk source indices (every segment's dense
+    offset is chunk-aligned), so the device does ONE sliced gather —
+    no searchsorted, which lowers to second-scale gather chains on
+    TPU.  Returns 4 splits so the host can drain them concurrently
+    (the d2h link pipelines better with multiple streams)."""
+    src = jnp.concatenate([x.reshape(-1) for x in planes]) \
+        .reshape(-1, _CHUNK)
+    out = jnp.take(src, chunk_idx, axis=0, mode='clip') \
+        .reshape(-1)
+    q = (Dch * _CHUNK) // 4
+    return (out[:q], out[q:2 * q], out[2 * q:3 * q], out[3 * q:])
 
 
 @dataclass
@@ -414,44 +419,61 @@ class TpuEncoder(Encoder):
                 raise _PallasOverflow()
             pos += F * g.n_pad
         planes = []
-        seg_off = [0]
-        seg_base = []
-        metas = []
+        cnt_l = []
+        sb_l = []
         base = 0
         for gi, g in enumerate(plan.groups):
             melw, vlcw, msw = group_planes[gi]
             bits = bits_all[gi]
-            cnts = (bits + 31) // 32
-            caps = g.caps
-            stream_bases = []
-            for arr, cap in ((melw, caps[0]), (vlcw, caps[1]),
-                             (msw, caps[2])):
+            nl = F * g.n_pad
+            caps = np.asarray(g.caps, np.int64)
+            stream_bases = np.empty(3, np.int64)
+            for si, arr in enumerate((melw, vlcw, msw)):
                 planes.append(arr)
-                stream_bases.append(base)
-                base += F * g.n_pad * cap
-            meta = np.zeros((F * g.n_pad, 6), np.int64)
-            for lane in range(F * g.n_pad):
-                for si, cap in enumerate(caps):
-                    meta[lane, si * 2] = seg_off[-1]
-                    meta[lane, si * 2 + 1] = bits[lane, si]
-                    seg_base.append(stream_bases[si] + lane * cap)
-                    seg_off.append(seg_off[-1] + int(cnts[lane, si]))
-            metas.append(meta)
-        total = seg_off[-1]
-        D = _bucket_words(max(total, 1))
-        dense = np.asarray(_compact_words(
-            tuple(planes),
-            jnp.asarray(np.asarray(seg_off[:-1], np.int32)),
-            jnp.asarray(np.asarray(seg_base, np.int32)), D))
+                stream_bases[si] = base
+                base += nl * int(caps[si])
+            lanes = np.arange(nl, dtype=np.int64)[:, None]
+            sb_l.append((stream_bases[None, :]
+                         + lanes * caps[None, :]).reshape(-1))
+            cnt_l.append(((bits.astype(np.int64) + 31) // 32)
+                         .reshape(-1))
+        cnts = np.concatenate(cnt_l)
+        seg_base = np.concatenate(sb_l)
+        # chunk-aligned layout: each segment starts on a 32-word
+        # boundary so the device compaction is one chunk gather
+        cnt_ch = (cnts + _CHUNK - 1) // _CHUNK
+        ch_ends = np.cumsum(cnt_ch)
+        ch_off = np.concatenate([[0], ch_ends[:-1]]).astype(np.int64)
+        seg_off = ch_off * _CHUNK
+        total_ch = int(ch_ends[-1]) if len(ch_ends) else 0
+        Dch = max(_bucket_words(max(total_ch, 1)), 4)
+        chunk_idx = np.zeros(Dch, np.int32)
+        delta = (seg_base // _CHUNK) - ch_off
+        chunk_idx[:total_ch] = (np.repeat(delta, cnt_ch)
+                                + np.arange(total_ch)).astype(np.int32)
+        parts = _compact_chunks(tuple(planes),
+                                jnp.asarray(chunk_idx), Dch)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(4) as pool:
+            dense = np.concatenate(list(pool.map(np.asarray, parts)))
+        at = 0
         for gi, g in enumerate(plan.groups):
+            nl = F * g.n_pad
+            bits = bits_all[gi]
+            meta = np.empty((nl, 6), np.int64)
+            meta[:, 0::2] = seg_off[at:at + nl * 3].reshape(nl, 3)
+            meta[:, 1::2] = bits
+            at += nl * 3
             L = len(g.lanes)
+            # stuffing can expand the packed bytes by up to 8/7
+            stride = int(bits.sum(axis=1).max()) // 7 + 64
             for f, coded in enumerate(codeds):
                 if coded is None:       # padding frame slot
                     continue
                 out, lens = native.pack_from_dense(
                     dense,
-                    metas[gi][f * g.n_pad:f * g.n_pad + L],
-                    out_stride=g.h * g.w * 5 + 256)
+                    meta[f * g.n_pad:f * g.n_pad + L],
+                    out_stride=stride)
                 self._fill_coded(plan, g, coded, out, lens,
                                  nz_all[gi][f])
 
@@ -557,7 +579,16 @@ class VideoEncoder:
         self._enc = None
         self._inflight = []
         from concurrent.futures import ThreadPoolExecutor
+        # stage pipeline: prep (stack/narrow) -> dispatch (upload +
+        # device compute; the dispatch call blocks until args are
+        # resident on tunneled backends) -> drain (d2h fetch of the
+        # coded words + byte packing + Tier-2).  Single worker per
+        # stage keeps burst order; stages of consecutive bursts
+        # overlap, so steady state is the slowest stage, not the sum.
         self._prep_pool = ThreadPoolExecutor(max_workers=1)
+        self._dispatch_pool = ThreadPoolExecutor(max_workers=1)
+        self._drain_pool = ThreadPoolExecutor(max_workers=1)
+        self._t2_pool = ThreadPoolExecutor(max_workers=1)
 
     def _ensure(self, frame):
         from ..codec import build_encoder, normalize_planes
@@ -582,13 +613,16 @@ class VideoEncoder:
 
     def collect(self) -> List[bytes]:
         """Block for and return the oldest burst's codestreams."""
-        return self._inflight.pop(0).result()
+        item = self._inflight.pop(0).result()
+        if isinstance(item, list):
+            return item          # fallback burst, already encoded
+        return item.result()     # final-stage future
 
     @property
     def depth(self) -> int:
         return len(self._inflight)
 
-    def _encode_burst(self, frames) -> List[bytes]:
+    def _encode_burst(self, frames):
         from ..codec import normalize_planes
         if self._enc is None:
             self._ensure(frames[0])
@@ -608,22 +642,43 @@ class VideoEncoder:
             stacks = [np.stack([_narrow_tile_plane(
                 enc.siz, geom, c, normalize_planes(f)[c])
                 for f in frames]) for c in range(nc)]
-        with trace.stage('encode.device'):
-            outs = runner(*stacks)
-        codeds = [_empty_coded(geom, nc) for _ in range(F)]
-        with trace.stage('encode.segment_pack'):
-            if _use_pallas():
-                try:
-                    enc._consume_pallas_outs(plan, outs, codeds)
-                except _PallasOverflow:
-                    return [enc.encode(normalize_planes(f))
-                            for f in frames]
-            else:
-                enc._consume_record_outs(plan, outs, codeds)
-            del outs
-        with trace.stage('encode.t2'):
-            return [enc.assemble([_tile_packets(enc, geom, coded)])
-                    for coded in codeds]
+
+        def dispatch(stacks=stacks):
+            with trace.stage('encode.device'):
+                outs = runner(*[jax.device_put(s) for s in stacks])
+                if _use_pallas():
+                    # absorb the upload+compute wait HERE (the aux
+                    # fetch blocks on it), so the drain stage starts
+                    # with results ready
+                    return (outs[0], np.asarray(outs[1]))
+                return outs
+        dfut = self._dispatch_pool.submit(dispatch)
+
+        def drain(dfut=dfut, frames=frames):
+            outs = dfut.result()
+            codeds = [_empty_coded(geom, nc) for _ in range(F)]
+            with trace.stage('encode.segment_pack'):
+                if _use_pallas():
+                    try:
+                        enc._consume_pallas_outs(plan, outs, codeds)
+                    except _PallasOverflow:
+                        return [enc.encode(normalize_planes(f))
+                                for f in frames]
+                else:
+                    enc._consume_record_outs(plan, outs, codeds)
+                del outs
+            return codeds
+        pfut = self._drain_pool.submit(drain)
+
+        def t2(pfut=pfut):
+            codeds = pfut.result()
+            if codeds and isinstance(codeds[0], bytes):
+                return codeds    # fallback already produced streams
+            with trace.stage('encode.t2'):
+                return [enc.assemble([_tile_packets(enc, geom,
+                                                    coded)])
+                        for coded in codeds]
+        return self._t2_pool.submit(t2)
 
 
 def encode_tpu_batch(frames, **kwargs) -> List[bytes]:
