@@ -57,11 +57,19 @@ def mutate(rng, data: bytes) -> bytes:
     return bytes(b)
 
 
-def run(iterations=1000, seed=0, quiet=False):
+def run(iterations=1000, seed=0, quiet=False, tpu_path=False):
+    """``tpu_path`` also decodes through the fused pipeline
+    (TpuDecoder: Tier-2 record mode + on-device unstuffing, forced on
+    CPU) — the same raise-only-ValueError/EOFError contract."""
     from openjph_tpu import decode
+    if tpu_path:
+        import openjph_tpu.tpu.pipeline as P
+        P._DEVICE_UNSTUFF = True
+        from openjph_tpu.tpu.pipeline import decode_tpu
     seeds = make_seeds()
     rng = np.random.RandomState(seed)
-    stats = {'ok': 0, 'valueerror': 0, 'eof': 0, 'resilient_ok': 0}
+    stats = {'ok': 0, 'valueerror': 0, 'eof': 0, 'resilient_ok': 0,
+             'tpu_ok': 0}
     for it in range(iterations):
         data = mutate(rng, seeds[rng.randint(0, len(seeds))])
         try:
@@ -71,6 +79,12 @@ def run(iterations=1000, seed=0, quiet=False):
             stats['valueerror'] += 1
         except EOFError:
             stats['eof'] += 1
+        if tpu_path:
+            try:
+                decode_tpu(data)
+                stats['tpu_ok'] += 1
+            except (ValueError, EOFError):
+                pass
         # resilient mode must not raise once headers parse; a raise
         # from header parsing itself is contractual
         try:
@@ -88,4 +102,4 @@ def run(iterations=1000, seed=0, quiet=False):
 if __name__ == '__main__':
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
     sd = int(sys.argv[2]) if len(sys.argv) > 2 else 0
-    run(iters, sd)
+    run(iters, sd, tpu_path='--tpu' in sys.argv)
