@@ -72,8 +72,9 @@ def run(iterations=1000, seed=0, quiet=False, tpu_path=False):
              'tpu_ok': 0}
     for it in range(iterations):
         data = mutate(rng, seeds[rng.randint(0, len(seeds))])
+        host_out = None
         try:
-            decode(data)
+            host_out = decode(data)
             stats['ok'] += 1
         except ValueError:
             stats['valueerror'] += 1
@@ -81,8 +82,30 @@ def run(iterations=1000, seed=0, quiet=False, tpu_path=False):
             stats['eof'] += 1
         if tpu_path:
             try:
-                decode_tpu(data)
+                tpu_out = decode_tpu(data)
                 stats['tpu_ok'] += 1
+                # when both paths accept the stream, the fused decode
+                # must be bit-identical to the scalar decode (wrong
+                # bits, not exceptions, are the likely failure mode
+                # of the vectorized unstuff/decode kernels).  Corrupt
+                # streams can decode to out-of-range samples: the
+                # scalar API returns them raw (reference-library
+                # semantics) while the fused narrow-dtype output
+                # saturates (reference-writer semantics) — compare
+                # after clamping to the fused dtype's range.
+                if host_out is not None:
+                    from openjph_tpu.core import markers as mk
+                    hdr = mk.read_main_header(data)
+                    for c, (a, b) in enumerate(zip(host_out, tpu_out)):
+                        ci = hdr.siz.comps[c]
+                        lo, hi = ((-(1 << (ci.bit_depth - 1)),
+                                   (1 << (ci.bit_depth - 1)) - 1)
+                                  if ci.is_signed
+                                  else (0, (1 << ci.bit_depth) - 1))
+                        assert np.array_equal(
+                            np.clip(a, lo, hi).astype(np.int64),
+                            np.clip(b, lo, hi).astype(np.int64)), \
+                            f'fused/scalar divergence at iteration {it}'
             except (ValueError, EOFError):
                 pass
         # resilient mode must not raise once headers parse; a raise

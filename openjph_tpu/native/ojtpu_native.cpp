@@ -78,29 +78,46 @@ void prep_cleanup_streams(const uint8_t* data, const int64_t* offsets,
     }
 
     // ---- VLC backward: nibble of d[lcup-2], then bytes downward ----
+    // Reference reader semantics (rev_struct: tmp |= d << bits):
+    // a dropped bit — the nibble's bit 3 when (nib&7)==7, or bit 7
+    // of a stuffed byte — is not counted, but it ORs into the NEXT
+    // byte's b0 position ("carry").  For streams from conformant
+    // encoders the dangled bit is always 0 (drop == merge); the
+    // carry keeps corrupt/crafted input decoding identical to the
+    // reference (and to our scalar RevReader).
     {
       BitWriter bw(vlc_out + i * vlc_words);
       const uint8_t nib_byte = d[lcup - 2];
       const uint32_t nib = nib_byte >> 4;
-      bw.push_bits_lsb(nib, ((nib & 7) == 7) ? 3 : 4);
+      const bool special = (nib & 7) == 7;
+      bw.push_bits_lsb(nib, special ? 3 : 4);
+      uint32_t carry = special ? ((nib >> 3) & 1u) : 0;
       bool unstuff = (nib_byte | 0xF) > 0x8F;
       for (int64_t k = 0; k < scup - 2; ++k) {
         const uint8_t b = d[lcup - 3 - k];
-        const int nb = 8 - ((unstuff && ((b & 0x7F) == 0x7F)) ? 1 : 0);
-        bw.push_bits_lsb(b, nb);
+        const bool dropb = unstuff && ((b & 0x7F) == 0x7F);
+        bw.push_bits_lsb(b | carry, dropb ? 7 : 8);
+        carry = dropb ? (b >> 7) : 0;
         unstuff = b > 0x8F;
       }
+      if (carry) bw.push_bits_lsb(carry, 1);  // dangled tail bit
       // fill is zeros (rows arrive zeroed)
     }
 
     // ---- MagSgn forward: bytes [0, lcup-scup), LSB-first ----
+    // Same carry rule as VLC: a stuffed byte's dropped b7 ORs into
+    // the next byte's b0 (frwd_struct32 semantics); the ones-fill
+    // absorbs a dangling tail carry.
     {
       BitWriter bw(ms_out + i * ms_words);
       const int64_t len = lcup - scup;
       uint8_t prev = 0;
+      uint32_t carry = 0;
       for (int64_t k = 0; k < len; ++k) {
         const uint8_t b = d[k];
-        bw.push_bits_lsb(b, (prev == 0xFF) ? 7 : 8);
+        const bool dropb = prev == 0xFF;
+        bw.push_bits_lsb(b | carry, dropb ? 7 : 8);
+        carry = dropb ? (b >> 7) : 0;
         prev = b;
       }
       fill_ones_from(ms_out + i * ms_words, bw.pos, ms_words);
@@ -180,35 +197,50 @@ inline void prep_one_dense(const uint8_t* d, int64_t lcup, int64_t scup,
     fill_ones_from(row, pos, ml);
   }
   // ---- VLC backward: nibble of d[lcup-2], then bytes downward ----
+  // Carry rule (rev_struct: tmp |= d << bits): a dropped bit — the
+  // nibble's bit 3 when (nib&7)==7, or bit 7 of a stuffed byte —
+  // ORs into the next byte's b0 position; always 0 for conformant
+  // encoders, but it keeps corrupt input bit-identical to the
+  // reference reader.
   {
     uint32_t* row = dense + vo;
     AccWriter bw(row);
     const uint8_t nib_byte = d[lcup - 2];
     const uint32_t nib = nib_byte >> 4;
-    bw.push(nib, ((nib & 7) == 7) ? 3 : 4);
+    const bool special = (nib & 7) == 7;
+    bw.push(nib & (special ? 7u : 0xFu), special ? 3 : 4);
+    uint32_t carry = special ? ((nib >> 3) & 1u) : 0;
     bool unstuff = (nib_byte | 0xF) > 0x8F;
     for (int64_t k = 0; k < scup - 2; ++k) {
       const uint8_t b = d[lcup - 3 - k];
-      const int nb = 8 - ((unstuff && ((b & 0x7F) == 0x7F)) ? 1 : 0);
-      bw.push(b & ((1u << nb) - 1u), nb);
+      const bool dropb = unstuff && ((b & 0x7F) == 0x7F);
+      const int nb = dropb ? 7 : 8;
+      bw.push((b | carry) & ((1u << nb) - 1u), nb);
+      carry = dropb ? (b >> 7) : 0;
       unstuff = b > 0x8F;
     }
+    if (carry) bw.push(carry, 1);  // dangled tail bit
     const int64_t wrote = bw.flush();
     if (wrote < vl)  // fill stays zero
       std::memset(row + wrote, 0, static_cast<size_t>(vl - wrote) * 4);
   }
   // ---- MagSgn forward: bytes [0, lcup-scup), LSB-first ----
+  // Same carry rule (frwd_struct32); the ones-fill absorbs a
+  // dangling tail carry.
   {
     uint32_t* row = dense + so;
     AccWriter bw(row);
     const int64_t len = lcup - scup;
     uint8_t prev = 0;
+    uint32_t carry = 0;
     for (int64_t k = 0; k < len; ++k) {
       const uint8_t b = d[k];
-      if (prev == 0xFF)
-        bw.push(b & 0x7F, 7);
+      const bool dropb = prev == 0xFF;
+      if (dropb)
+        bw.push((b | carry) & 0x7F, 7);
       else
-        bw.push(b, 8);
+        bw.push(b | carry, 8);
+      carry = dropb ? (b >> 7) : 0;
       prev = b;
     }
     const int64_t pos = bw.bitpos();

@@ -132,7 +132,8 @@ def prep_cleanup_streams_np(datas: List[bytes], lcups: np.ndarray,
     nib_bits = ((nib[:, None] >> _BIT_IDX_LSB[None, :4]) & 1) \
         .astype(np.uint8)
     nib_keep = np.ones((n, 4), dtype=bool)
-    nib_keep[:, 3] = (nib & 7) != 7
+    special = (nib & 7) == 7
+    nib_keep[:, 3] = ~special
     vlc_len = (scups - 2)[:, None]  # bytes below the nibble byte
     vlc_idx = np.maximum(lcups[:, None] - 3 - cols, 0)
     vlc_bytes = np.take_along_axis(buf, vlc_idx, axis=1)
@@ -146,9 +147,25 @@ def prep_cleanup_streams_np(datas: List[bytes], lcups: np.ndarray,
         .astype(np.uint8)
     keep = np.repeat(vvalid[:, :, None], 8, axis=2)
     keep[:, :, 7] &= ~drop  # drop stuffed b7
-    all_bits = np.concatenate([nib_bits, bits.reshape(n, -1)], axis=1)
-    all_keep = np.concatenate([nib_keep & True, keep.reshape(n, -1)],
-                              axis=1)
+    # carry rule (rev_struct: tmp |= d << bits): a dropped bit — the
+    # nibble's bit 3 when (nib&7)==7, or a stuffed byte's b7 — ORs
+    # into the next byte's b0; a dangled bit after the LAST byte
+    # stays visible before the zero fill.  Always 0 for conformant
+    # encoders, but keeps corrupt input identical to the reference.
+    bits[:, 0, 0] |= (special & vvalid[:, 0]) * ((nib >> 3) & 1)
+    bits[:, 1:, 0] |= (drop[:, :-1] & vvalid[:, 1:]
+                       ) * (vlc_bytes[:, :-1] >> 7).astype(np.uint8)
+    lanes = np.arange(n)
+    last = np.maximum(vlc_len[:, 0] - 1, 0)
+    has_b = vlc_len[:, 0] > 0
+    tail = np.where(has_b,
+                    drop[lanes, last] & (vlc_bytes[lanes, last] >> 7)
+                    .astype(bool),
+                    special & ((nib >> 3) > 0))
+    all_bits = np.concatenate([nib_bits, bits.reshape(n, -1),
+                               tail.astype(np.uint8)[:, None]], axis=1)
+    all_keep = np.concatenate([nib_keep, keep.reshape(n, -1),
+                               tail[:, None]], axis=1)
     dense, _ = _compact_bits(all_bits, all_keep, fill_ones=False)
     vlc_w = _pack_words(dense, guard_ones=False)
 
@@ -160,6 +177,10 @@ def prep_cleanup_streams_np(datas: List[bytes], lcups: np.ndarray,
     prev_ff[:, 1:] = (ms_bytes[:, :-1] == 0xFF) & msvalid[:, :-1]
     bits = ((ms_bytes[:, :, None] >> _BIT_IDX_LSB[None, None, :]) & 1) \
         .astype(np.uint8)
+    # stuffed-byte carry (frwd_struct32): dropped b7 ORs into the
+    # next byte's b0; the ones fill absorbs a dangling tail carry
+    bits[:, 1:, 0] |= (prev_ff[:, :-1] & msvalid[:, 1:]
+                       ) * (ms_bytes[:, :-1] >> 7).astype(np.uint8)
     keep = np.repeat(msvalid[:, :, None], 8, axis=2)
     keep[:, :, 7] &= ~prev_ff
     dense, _ = _compact_bits(bits.reshape(n, -1), keep.reshape(n, -1),

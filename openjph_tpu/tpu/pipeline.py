@@ -282,26 +282,31 @@ class _SkelGroup:
 
 
 _SKELS: 'OrderedDict' = None
+_SKELS_LOCK = None
 
 
 def _plan_skeleton(dec, tile_indices):
     """Geometry-only plan parts (groups' lane layout, placements,
     bands, tiles), cached per (header bytes, skip, tiles, backend).
     Returns None for layouts the fused path can't handle (DFS)."""
-    global _SKELS
+    global _SKELS, _SKELS_LOCK
+    import threading
     from collections import OrderedDict
     if _SKELS is None:
         _SKELS = OrderedDict()
+        _SKELS_LOCK = threading.Lock()
     ck = (bytes(dec.data[:dec.hdr.header_size]), dec.skip_recon,
           None if tile_indices is None else tuple(tile_indices),
           _use_pallas())
-    if ck in _SKELS:
-        _SKELS.move_to_end(ck)
-        return _SKELS[ck]
+    with _SKELS_LOCK:
+        if ck in _SKELS:
+            _SKELS.move_to_end(ck)
+            return _SKELS[ck]
     skel = _build_skeleton(dec, tile_indices)
-    _SKELS[ck] = skel
-    while len(_SKELS) > 32:
-        _SKELS.popitem(last=False)
+    with _SKELS_LOCK:
+        _SKELS[ck] = skel
+        while len(_SKELS) > 32:
+            _SKELS.popitem(last=False)
     return skel
 
 
@@ -1305,10 +1310,15 @@ class VideoDecoder:
         decs, dfut = item
         errs, outs = dfut.result()
         # keep the error flags device-resident: a d2h fetch costs a
-        # link roundtrip that would stall the upload stream; they are
-        # checked at drain_errors() (or any later collect if already
-        # materialized by the runtime)
+        # link roundtrip that would stall the upload stream.  They
+        # are checked at drain_errors(); to bound memory AND surface
+        # corruption within a bounded number of bursts on callers
+        # that never drain, force-check the oldest flag once the
+        # queue exceeds 16 (one small fetch per 16 bursts).
         self._pending_errs.append(errs)
+        while len(self._pending_errs) > 16:
+            if np.asarray(self._pending_errs.pop(0)).any():
+                raise ValueError('U_q exceeds missing_msbs + 2')
         return outs
 
     def drain_errors(self) -> None:

@@ -195,8 +195,10 @@ def _assemble(vals, delmask, nvalid_bits, W, fill_ones):
 
 def unstuff_ms(blob32, byte_off, nbytes, W):
     """MagSgn: bytes LSB-first, 7 bits after a 0xFF byte (the
-    dropped bit is the byte's bit 7 = its LAST as-if-8 emission);
-    ones fill."""
+    dropped bit is the byte's bit 7), with the dropped bit OR'd into
+    the NEXT byte's b0 (frwd_struct32 carry semantics — always 0
+    for conformant encoders, but it keeps corrupt input identical
+    to the reference reader); ones fill."""
     Wn = W
     wv = _lane_words_fwd(blob32, byte_off, Wn)
     k = jnp.arange(Wn, dtype=jnp.int32)[None, :]
@@ -205,14 +207,25 @@ def unstuff_ms(blob32, byte_off, nbytes, W):
             bts[0], bts[1], bts[2])
     delmask = jnp.zeros(wv.shape, _U32)
     vals = jnp.zeros(wv.shape, _U32)
+    stuffs = []
     for m in range(4):
         bidx = k * 4 + m
         valid = bidx < nbytes[:, None]
         pv = jnp.where((bidx > 0) & valid, prev[m], 0)
         stuffed = valid & (pv == 0xFF)
+        stuffs.append(stuffed)
         delmask = delmask | jnp.where(stuffed,
                                       _u32(1) << (8 * m + 7), _u32(0))
         vals = vals | (jnp.where(valid, bts[m], 0) << (8 * m))
+    # carry: a stuffed byte's dropped b7 ORs into the next byte's b0
+    pstuff = (jnp.pad(stuffs[3], ((0, 0), (1, 0)))[:, :-1],
+              stuffs[0], stuffs[1], stuffs[2])
+    for m in range(4):
+        bidx = k * 4 + m
+        valid = bidx < nbytes[:, None]
+        carry = jnp.where(valid & pstuff[m], (prev[m] >> 7) & 1,
+                          jnp.zeros_like(prev[m]))
+        vals = vals | (carry.astype(_U32) << (8 * m))
     return _assemble(vals, delmask, nbytes * 8, W, True)
 
 
@@ -244,11 +257,14 @@ def unstuff_mel(blob32, byte_off, nbytes, W):
 def unstuff_vlc(blob32, byte_off, nbytes, W):
     """VLC backward over the shared range [byte_off, byte_off+nbytes)
     read in REVERSE: emission byte 0 is the nibble byte (high nibble
-    LSB-first, 3 bits if (nib&7)==7 — modeled as deleting its low
-    4[+1] emissions), later bytes emit low 7/8 bits (bit 7 deleted
-    when the previous emitted byte was > 0x8F and this byte's low 7
-    bits are all ones; for emission byte 1 the previous byte is
-    nib|0xF, which the blob's |= 0xF already applied).  Zero fill."""
+    LSB-first, 3 bits if (nib&7)==7), later bytes emit low 7/8 bits
+    (bit 7 dropped when the previous emitted byte was > 0x8F and
+    this byte's low 7 bits are all ones; for emission byte 1 the
+    previous byte is nib|0xF, which the blob's |= 0xF already
+    applied).  Carry rule (rev_struct: tmp |= d << bits): every
+    dropped bit ORs into the NEXT byte's b0, and a bit dropped from
+    the LAST byte stays visible before the zero fill (modeled by
+    keeping it).  Zero fill."""
     Wn = W
     wv = _lane_words_rev(blob32, byte_off, nbytes, Wn)
     k = jnp.arange(Wn, dtype=jnp.int32)[None, :]
@@ -257,20 +273,32 @@ def unstuff_vlc(blob32, byte_off, nbytes, W):
             bts[0], bts[1], bts[2])
     delmask = jnp.zeros(wv.shape, _U32)
     vals = jnp.zeros(wv.shape, _U32)
+    dangs = []
     for m in range(4):
         bidx = k * 4 + m
         valid = bidx < nbytes[:, None]
         b = bts[m]
         pv = prev[m]
         first = bidx == 0
+        last = bidx == (nbytes[:, None] - 1)
         drop = (~first) & valid & (pv > 0x8F) & ((b & 0x7F) == 0x7F)
-        delmask = delmask | jnp.where(drop,
+        nib3 = first & valid & (((b >> 4) & 7) == 7)
+        # the would-be-dangled bit (bit 7); kept when this is the
+        # last byte so it stays visible before the zero fill
+        dangs.append(drop | nib3)
+        delmask = delmask | jnp.where((drop | nib3) & ~last,
                                       _u32(1) << (8 * m + 7), _u32(0))
-        # nibble byte: delete emissions 0..3 (low nibble) and also
-        # emission 7 when (nib & 7) == 7 (3-bit prefix)
-        nib3 = ((b >> 4) & 7) == 7
-        nibmask = _u32(0xF) << (8 * m) | \
-            jnp.where(nib3, _u32(1) << (8 * m + 7), _u32(0))
-        delmask = delmask | jnp.where(first & valid, nibmask, _u32(0))
+        delmask = delmask | jnp.where(first & valid,
+                                      _u32(0xF) << (8 * m), _u32(0))
         vals = vals | (jnp.where(valid, b, 0) << (8 * m))
+    # carry: the dropped bit (bit 7 / nibble bit 3) ORs into the
+    # next byte's b0
+    pdang = (jnp.pad(dangs[3], ((0, 0), (1, 0)))[:, :-1],
+             dangs[0], dangs[1], dangs[2])
+    for m in range(4):
+        bidx = k * 4 + m
+        valid = bidx < nbytes[:, None]
+        carry = jnp.where(valid & pdang[m], (prev[m] >> 7) & 1,
+                          jnp.zeros_like(prev[m]))
+        vals = vals | (carry.astype(_U32) << (8 * m))
     return _assemble(vals, delmask, nbytes * 8, W, False)

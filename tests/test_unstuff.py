@@ -119,3 +119,70 @@ def test_budget_fallback_roundtrip(monkeypatch):
     assert mode is False  # fell back to the dense-words path
     out = P.decode_tpu(s)
     np.testing.assert_array_equal(out[0], img)
+
+
+def _reader_words(reader, nwords, fwd=False):
+    out = []
+    for _ in range(nwords):
+        out.append(reader.fetch(32) if fwd else reader.fetch())
+        reader.advance(32)
+    return np.asarray(out, np.uint32)
+
+
+@pytest.mark.parametrize('d', [
+    # VLC nibble 0xF: its bit 3 must OR into the next byte's b0
+    # (rev_struct carry); crafted, unreachable from valid encoders
+    bytes([0x12, 0x34, 0x56, 0xF0, 0x05]),
+    bytes([0x12, 0x34, 0x56, 0x73, 0x05]),   # nib == 7 variant
+    # stuffed 0xFF with b7=1 dangling into the next byte (VLC + MS)
+    bytes([0xFF, 0xFF, 0xFF, 0x91, 0x05]),
+    bytes([0xAA, 0xFF, 0x7F, 0x91, 0x05]),
+    # dangled bit on the LAST VLC byte (stays visible before fill)
+    bytes([0x12, 0xFF, 0xFF, 0xF5, 0x05]),
+])
+def test_carry_semantics_vs_scalar_readers(d):
+    """The vectorized unstuffers must reproduce the scalar readers'
+    (reference-port) OR-carry behavior on crafted segments where the
+    dangled bit is nonzero."""
+    from openjph_tpu.coding.decoder import FwdReader, RevReader
+    lcup = len(d)
+    scup = lcup  # whole segment is MEL/VLC; ms empty
+    # --- VLC ---
+    ref = _reader_words(RevReader(d, lcup, scup), 4)
+    got_np = prep_cleanup_streams_np([d], np.array([lcup]),
+                                     np.array([scup]))['vlc'][0][:4]
+    np.testing.assert_array_equal(got_np, ref, err_msg='numpy vlc')
+    blob = np.zeros(16, np.uint8)
+    blob[:lcup - 1] = np.frombuffer(d, np.uint8)[:lcup - 1]
+    blob[lcup - 2] |= 0xF
+    got_dev = np.asarray(unstuff_vlc(
+        jnp.asarray(blob.view(np.uint32)),
+        jnp.asarray([0], jnp.int32),
+        jnp.asarray([scup - 1], jnp.int32), 6))[0][:4]
+    np.testing.assert_array_equal(got_dev, ref, err_msg='device vlc')
+    from openjph_tpu import native
+    if native.have_native():
+        got_nat = native.prep_cleanup_streams(
+            [d], np.array([lcup]), np.array([scup]),
+            min_words=(4, 4, 4))['vlc'][0][:4]
+        np.testing.assert_array_equal(got_nat, ref,
+                                      err_msg='native vlc')
+    # --- MagSgn over the same bytes ---
+    ref = _reader_words(FwdReader(d, 0, lcup, 0xFF), 4, fwd=True)
+    got_np = prep_cleanup_streams_np(
+        [d + b'\x00\x22'], np.array([lcup + 2]),
+        np.array([2]))['ms'][0][:4]
+    np.testing.assert_array_equal(got_np, ref, err_msg='numpy ms')
+    blob2 = np.zeros(16, np.uint8)
+    blob2[:lcup] = np.frombuffer(d, np.uint8)
+    got_dev = np.asarray(unstuff_ms(
+        jnp.asarray(blob2.view(np.uint32)),
+        jnp.asarray([0], jnp.int32),
+        jnp.asarray([lcup], jnp.int32), 6))[0][:4]
+    np.testing.assert_array_equal(got_dev, ref, err_msg='device ms')
+    if native.have_native():
+        got_nat = native.prep_cleanup_streams(
+            [d + b'\x00\x22'], np.array([lcup + 2]),
+            np.array([2]), min_words=(4, 4, 4))['ms'][0][:4]
+        np.testing.assert_array_equal(got_nat, ref,
+                                      err_msg='native ms')
