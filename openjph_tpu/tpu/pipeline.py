@@ -743,7 +743,6 @@ def _pack_device_records(pairs):
     from plan.lanes (no per-codeblock Python objects, no bytes
     copies — the native builder memcpys directly out of each frame's
     stream buffer)."""
-    from . import unstuff
     from .. import native
     lcall = np.concatenate([p.lanes[1] for _, p in pairs])
     scall = np.concatenate([p.lanes[2] for _, p in pairs])
@@ -768,15 +767,8 @@ def _pack_device_records(pairs):
     if dead.any():
         # canonical dummy segment byte for dead/padding lanes
         blob[base[dead]] = 0x0F
-    if int(np.max(ev)) + 6 > unstuff.MAX_DELETED_BITS:
-        return None
-    z = np.zeros_like(base)
-    meta = np.stack([base, lcall - scall, scall - 1, z, z, z,
-                     pall.astype(np.int64), qall.astype(np.int64)],
-                    axis=1).astype(np.int32)
-    buf = np.concatenate([blob.view(np.uint32),
-                          meta.reshape(-1).view(np.uint32)])
-    return (buf,)
+    return _finish_device_pack(blob, base, lcall, scall, pall, qall,
+                               ev)
 
 
 def _pack(pairs):
@@ -801,15 +793,30 @@ def _pack_auto(pairs):
     return False, _pack(pairs)
 
 
+def _finish_device_pack(blob, base, lcups, scups, p, qhl, per_lane):
+    """Shared tail of the device packers: budget check, meta layout
+    (lane_off, ms_n, sh_n, 0, 0, 0, p, qhl) and the single-buffer
+    concat (meta rides the blob's tail — the tunnel pays a latency
+    roundtrip per transfer).  Returns None past the unstuff budget."""
+    from . import unstuff
+    if int(np.max(per_lane)) + 6 > unstuff.MAX_DELETED_BITS:
+        return None
+    z = np.zeros_like(base)
+    meta = np.stack([base, lcups - scups, scups - 1, z, z, z,
+                     p.astype(np.int64), qhl.astype(np.int64)],
+                    axis=1).astype(np.int32)
+    buf = np.concatenate([blob.view(np.uint32),
+                          meta.reshape(-1).view(np.uint32)])
+    return (buf,)
+
+
 def _pack_device(pairs):
     """Raw-segment-bytes layout for on-device unstuffing: each
     lane's blob range is d[0:lcup-1] (byte lcup-2 OR'd 0xF); the
     accelerator derives all three bitstreams from it (MagSgn = first
-    lcup-scup bytes; MEL/VLC share the rest forward/backward).  meta
-    columns per lane = (lane_off, ms_n, sh_n, 0, 0, 0, p, qhl).
+    lcup-scup bytes; MEL/VLC share the rest forward/backward).
     Returns None when any lane's worst-case deleted-bit count
     exceeds unstuff.MAX_DELETED_BITS (caller falls back)."""
-    from . import unstuff
     from .. import native
     if native.have_native() and \
             all(p.lanes is not None for _, p in pairs):
@@ -851,18 +858,8 @@ def _pack_device(pairs):
     # VLC drop candidates) + 6 (nibble + edges)
     ev = ((blob & 0x7F) == 0x7F).view(np.uint8)
     per_lane = np.add.reduceat(ev, base, dtype=np.int32)
-    if int(np.max(per_lane)) + 6 > unstuff.MAX_DELETED_BITS:
-        return None
-    meta = np.stack([base, lcups - scups, scups - 1,
-                     np.zeros_like(base), np.zeros_like(base),
-                     np.zeros_like(base),
-                     p.astype(np.int64), qhl.astype(np.int64)],
-                    axis=1).astype(np.int32)
-    # single upload per burst: meta rides the blob's tail (the tunnel
-    # pays a latency roundtrip per transfer)
-    buf = np.concatenate([blob.view(np.uint32),
-                          meta.reshape(-1).view(np.uint32)])
-    return (buf,)
+    return _finish_device_pack(blob, base, lcups, scups, p, qhl,
+                               per_lane)
 
 
 class TpuDecoder(Decoder):
