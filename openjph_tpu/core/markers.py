@@ -73,14 +73,20 @@ DWT_REV53 = 1
 
 
 def _u8(b, off):
+    if off + 1 > len(b):
+        raise EOFError('truncated marker segment')
     return b[off], off + 1
 
 
 def _u16(b, off):
+    if off + 2 > len(b):
+        raise EOFError('truncated marker segment')
     return (b[off] << 8) | b[off + 1], off + 2
 
 
 def _u32(b, off):
+    if off + 4 > len(b):
+        raise EOFError('truncated marker segment')
     return struct.unpack_from('>I', b, off)[0], off + 4
 
 
@@ -744,46 +750,63 @@ def read_main_header(buf: bytes) -> MainHeader:
             _err(0x00030041, 'error reading marker: truncated marker '
                  'segment in main header')
         body = buf[o + 4: o + 2 + ln]
-        if mrk == Marker.SIZ:
-            hdr.siz = Siz.from_bytes(body)
-        elif mrk == Marker.CAP:
-            Cap.from_bytes(body)
-        elif mrk == Marker.COD:
-            hdr.cod = Cod.from_bytes(body)
-        elif mrk == Marker.COC:
-            coc = Cod.coc_from_bytes(body, hdr.siz.num_comps, hdr.cod)
-            hdr.cocs[coc.comp_idx] = coc
-        elif mrk == Marker.QCD:
-            hdr.qcd = Qcd.from_bytes(body)
-        elif mrk == Marker.QCC:
-            qcc = Qcd.from_bytes(body, comp_idx=0,
-                                 num_comps=hdr.siz.num_comps)
-            hdr.qccs[qcc.comp_idx] = qcc
-        elif mrk == Marker.NLT:
-            hdr.nlt.add(NltSegment.from_bytes(body))
-        elif mrk == Marker.COM:
-            hdr.comments.append(Com.from_bytes(body))
-        elif mrk in (Marker.DFS,):
-            sdfs = (body[0] << 8) | body[1]
-            if sdfs > 15:
-                _err(0x000500D3, f'the DFS-Sdfs parameter is {sdfs}, '
-                                 'permissible 15')
-            ids = body[2]
-            hdr.dfs.append(Dfs(sdfs, ids, bytes(body[3:3 + ((ids + 3) >> 2)])))
-        elif mrk == Marker.ATK:
-            atk = AtkKernel.from_bytes(body)
-            if atk.index in hdr.atks:
-                _err(0x000500F3, f'repeated ATK marker index '
-                     f'{atk.index}; it would be unclear which segment '
-                     'to employ')
-            hdr.atks[atk.index] = atk
-        # TLM/PLM/PPM/CRG/PRF/CPF: skipped (TLM is advisory on read)
+        try:
+            _read_one_marker(hdr, mrk, body)
+        except (IndexError, struct.error):
+            # a marker whose Lmar-delimited body is shorter than its
+            # fields require (fuzzed/corrupt input)
+            _err(0x00030041, 'error reading marker: truncated marker '
+                 'segment in main header')
         o += 2 + ln
     else:
         _err(0x00030051, 'file ended before finding a tile segment '
              '(no SOT marker)')
     if hdr.siz is None or hdr.cod is None or hdr.qcd is None:
         _err(0x00030052, 'markers error: SIZ, COD and QCD are required')
+    _resolve_kernels(hdr)
+    return hdr
+
+
+def _read_one_marker(hdr, mrk, body):
+    if mrk in (Marker.COC, Marker.QCC) and hdr.siz is None:
+        _err(0x00030052, 'COC/QCC before SIZ in main header')
+    if mrk == Marker.SIZ:
+        hdr.siz = Siz.from_bytes(body)
+    elif mrk == Marker.CAP:
+        Cap.from_bytes(body)
+    elif mrk == Marker.COD:
+        hdr.cod = Cod.from_bytes(body)
+    elif mrk == Marker.COC:
+        coc = Cod.coc_from_bytes(body, hdr.siz.num_comps, hdr.cod)
+        hdr.cocs[coc.comp_idx] = coc
+    elif mrk == Marker.QCD:
+        hdr.qcd = Qcd.from_bytes(body)
+    elif mrk == Marker.QCC:
+        qcc = Qcd.from_bytes(body, comp_idx=0,
+                             num_comps=hdr.siz.num_comps)
+        hdr.qccs[qcc.comp_idx] = qcc
+    elif mrk == Marker.NLT:
+        hdr.nlt.add(NltSegment.from_bytes(body))
+    elif mrk == Marker.COM:
+        hdr.comments.append(Com.from_bytes(body))
+    elif mrk in (Marker.DFS,):
+        sdfs = (body[0] << 8) | body[1]
+        if sdfs > 15:
+            _err(0x000500D3, f'the DFS-Sdfs parameter is {sdfs}, '
+                             'permissible 15')
+        ids = body[2]
+        hdr.dfs.append(Dfs(sdfs, ids, bytes(body[3:3 + ((ids + 3) >> 2)])))
+    elif mrk == Marker.ATK:
+        atk = AtkKernel.from_bytes(body)
+        if atk.index in hdr.atks:
+            _err(0x000500F3, f'repeated ATK marker index '
+                 f'{atk.index}; it would be unclear which segment '
+                 'to employ')
+        hdr.atks[atk.index] = atk
+    # TLM/PLM/PPM/CRG/PRF/CPF: skipped (TLM is advisory on read)
+
+
+def _resolve_kernels(hdr):
     # resolve wavelet kernels (param_cod::update_atk,
     # ojph_params.cpp:1278-1298) and DFS references
     for c in [hdr.cod] + list(hdr.cocs.values()):
