@@ -50,7 +50,7 @@ ORACLE = os.path.join(REPO, '.oracle', 'bin', 'ojph_expand')
 W, H, NFRAMES = 2048, 1080, 8
 MP = W * H * NFRAMES / 1e6
 NBURST = 8
-ROUNDS = 4
+ROUNDS = 6
 
 
 def make_frames(nsets: int = 2):
