@@ -1054,10 +1054,12 @@ class TpuDecoder(Decoder):
 
     def _scalar_block(self, cb, g, dst):
         key, y0, x0 = dst
+        causal = self.hdr.get_cod(key[1]).vert_causal
         try:
             dec = decode_codeblock(bytes(cb.data), cb.missing_msbs,
                                    cb.num_passes, cb.pass_length[0],
-                                   cb.pass_length[1], g.rect.w, g.rect.h)
+                                   cb.pass_length[1], g.rect.w, g.rect.h,
+                                   stripe_causal=causal)
         except ValueError:
             if self.resilient:
                 return

@@ -113,3 +113,33 @@ def test_ht_passes_validation():
     from openjph_tpu.core.message import OjphError
     with pytest.raises((OjphError, ValueError)):
         encode(np.zeros((8, 8), np.int32), ht_passes=4)
+
+
+@requires_oracle
+def test_causal_multipass_tpu_slow_path(tmp_path, rng):
+    """TpuDecoder's per-block slow path must apply the vertical-
+    causality flag in SigProp (it was dropped once): on causal-
+    sensitive content, our decode of a causal 3-pass stream must
+    match the reference decoder exactly."""
+    from openjph_tpu.tpu.pipeline import decode_tpu
+    import numpy as np
+    from openjph_tpu import encode
+    for seed in range(6):
+        r = np.random.RandomState(100 + seed)
+        img = np.full((16, 16), 128, np.int32)
+        for _ in range(r.randint(1, 6)):
+            img[r.randint(16), r.randint(16)] = r.choice([0, 255, 250, 5])
+        for _ in range(r.randint(1, 8)):
+            img[r.randint(16), r.randint(16)] = 128 + r.randint(-3, 4)
+        s = encode(img, reversible=True, num_decomps=0, ht_passes=3,
+                   vert_causal=True)
+        j2c = tmp_path / f'c{seed}.j2c'
+        j2c.write_bytes(s)
+        out = tmp_path / f'c{seed}.pgm'
+        run_oracle('ojph_expand', '-i', str(j2c), '-o', str(out))
+        raw = out.read_bytes()
+        oracle = np.frombuffer(raw[raw.index(b'255\n') + 4:],
+                               np.uint8).reshape(16, 16).astype(np.int32)
+        mine = decode_tpu(s)[0]
+        np.testing.assert_array_equal(mine, oracle,
+                                      err_msg=f'seed {seed}')
