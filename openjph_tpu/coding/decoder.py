@@ -336,7 +336,9 @@ def decode_codeblock(coded_data: bytes, missing_msbs: int, num_passes: int,
 
     if num_passes > 1:
         _decode_spp_mrp(data, dec, p, num_passes, lengths1, lengths2,
-                        width, height, inf, stripe_causal,
+                        width, height,
+                        _sig_from_inf(inf, width, height),
+                        stripe_causal,
                         sign_bit=SIGN)
     return dec
 
@@ -372,10 +374,29 @@ def _sig_from_inf(inf: np.ndarray, width: int, height: int) -> np.ndarray:
     return sig
 
 
+def _sig_from_dec(dec: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Column-significance array derived from decoded cleanup samples
+    (a cleanup-significant sample always has nonzero magnitude, so
+    sig == (dec != 0)); same layout as _sig_from_inf.  Lets batch
+    decoders run SPP/MRP without re-deriving per-quad rho info."""
+    n_sy = (height + 3) >> 2
+    n_gx = (width + 3) >> 2
+    pb = np.zeros((n_sy * 4, n_gx * 4), dtype=bool)
+    pb[:dec.shape[0], :dec.shape[1]] = dec != 0
+    yy, xx = np.mgrid[0:n_sy * 4, 0:n_gx * 4]
+    wgt = (np.uint32(1) << ((xx % 4) * 4 + (yy % 4)).astype(np.uint32))
+    contr = np.where(pb, wgt, np.uint32(0))
+    sig = np.zeros((n_sy + 1, n_gx + 1), dtype=np.uint32)
+    sig[:n_sy, :n_gx] = contr.reshape(n_sy, 4, n_gx, 4) \
+        .sum(axis=(1, 3), dtype=np.uint32)
+    return sig
+
+
 def _decode_spp_mrp(data, dec, p, num_passes, lengths1, lengths2,
-                    width, height, inf, stripe_causal, sign_bit=31):
-    """SigProp + MagRef passes (ojph_block_decoder32.cpp:1318-1611)."""
-    sig = _sig_from_inf(inf, width, height)
+                    width, height, sig, stripe_causal, sign_bit=31):
+    """SigProp + MagRef passes (ojph_block_decoder32.cpp:1318-1611).
+    ``sig`` is the column-significance array (_sig_from_inf /
+    _sig_from_dec)."""
     n_sy = (height + 3) >> 2
     n_gx = (width + 3) >> 2
 

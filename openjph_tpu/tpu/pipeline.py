@@ -1042,10 +1042,12 @@ class TpuDecoder(Decoder):
                                 continue  # zero block
                             dst = (key, g.rect.y0 - sb.rect.y0,
                                    g.rect.x0 - sb.rect.x0)
-                            if cb.num_passes > 1 or cb.missing_msbs >= 30 \
+                            if cb.missing_msbs >= 30 \
                                     or cb.pass_length[0] < 2:
                                 self._scalar_block(cb, g, dst)
                                 continue
+                            # multi-pass blocks batch their cleanup
+                            # too; SPP/MRP apply on the batch result
                             groups.setdefault((g.rect.w, g.rect.h),
                                               []).append((cb, dst))
         for (w, h), items in groups.items():
@@ -1099,10 +1101,26 @@ class TpuDecoder(Decoder):
         err = np.asarray(err)[:n]
         if err.any() and not self.resilient:
             raise ValueError('U_q exceeds missing_msbs + 2')
+        from ..coding.decoder import _decode_spp_mrp, _sig_from_dec
         for i, (cb, (key, y0, x0)) in enumerate(items):
             if err[i]:
                 continue  # resilient: leave as zero block
             self._band_planes[key][y0:y0 + h, x0:x0 + w] = dec[i]
+            if cb.num_passes > 1 and cb.pass_length[1] > 0:
+                # SigProp/MagRef refine the batched cleanup result
+                # in place (the slice is a view into the band plane)
+                view = self._band_planes[key][y0:y0 + h, x0:x0 + w]
+                try:
+                    _decode_spp_mrp(
+                        np.frombuffer(bytes(cb.data),
+                                      np.uint8).astype(np.int64),
+                        view, 30 - cb.missing_msbs, cb.num_passes,
+                        cb.pass_length[0], cb.pass_length[1], w, h,
+                        _sig_from_dec(view, w, h),
+                        self.hdr.get_cod(key[1]).vert_causal)
+                except ValueError:
+                    if not self.resilient:
+                        raise
 
     # -- slow-path reconstruction (device ops, per-band dispatches) --------
     def _reconstruct_comp(self, st, c: int) -> np.ndarray:
