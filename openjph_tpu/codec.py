@@ -912,6 +912,25 @@ def build_encoder(shape, nc: int, bit_depth: int = 8,
                ht_passes=ht_passes)
 
 
+_ACCEL_ENCODE: Optional[bool] = None
+
+
+def _accel_encode_default() -> bool:
+    """encode() dispatches the device (TpuEncoder) path by default on
+    accelerator backends — mirroring decode_tpu's fallback semantics;
+    the scalar Encoder stays the oracle/CPU path.  OJTPU_HOST_ENCODE=1
+    forces the host path."""
+    global _ACCEL_ENCODE
+    if _ACCEL_ENCODE is None:
+        import os
+        if os.environ.get('OJTPU_HOST_ENCODE'):
+            _ACCEL_ENCODE = False
+        else:
+            import jax
+            _ACCEL_ENCODE = jax.default_backend() != 'cpu'
+    return _ACCEL_ENCODE
+
+
 def encode(planes, **kwargs) -> bytes:
     """Encode per-component numpy planes into a .j2c codestream.
 
@@ -919,7 +938,13 @@ def encode(planes, **kwargs) -> bytes:
     prog_order, color_transform, base_delta, block_size, tlm_marker,
     tile_size, tile_offset, image_offset, precincts, downsamplings,
     qfactor, tileparts, profile, comments, ht_passes, vert_causal
-    (see build_encoder)."""
+    (see build_encoder).
+
+    On accelerator backends Tier-1 runs on the device (byte-identical
+    output; unsupported configs fall back per block)."""
     planes = normalize_planes(planes)
+    if kwargs.get('encoder_cls') is None and _accel_encode_default():
+        from .tpu.encode_pipeline import TpuEncoder
+        kwargs['encoder_cls'] = TpuEncoder
     enc = build_encoder(planes[0].shape, len(planes), **kwargs)
     return enc.encode([np.asarray(p) for p in planes])

@@ -776,6 +776,13 @@ def _read_one_marker(hdr, mrk, body):
         Cap.from_bytes(body)
     elif mrk == Marker.COD:
         hdr.cod = Cod.from_bytes(body)
+        if hdr.cod.num_layers != 1:
+            # multi-layer packet headers would misparse silently
+            # (ojph_codestream_local.cpp:794-798)
+            _err(0x00030053,
+                 'The current implementation supports 1 quality layer '
+                 'only.  This codestream has %d quality layers'
+                 % hdr.cod.num_layers)
     elif mrk == Marker.COC:
         coc = Cod.coc_from_bytes(body, hdr.siz.num_comps, hdr.cod)
         hdr.cocs[coc.comp_idx] = coc

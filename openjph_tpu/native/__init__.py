@@ -54,6 +54,12 @@ def _load():
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64]
+        lib.prep_refine_streams.restype = None
+        lib.prep_refine_streams.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
         lib.prep_cleanup_dense.restype = None
         lib.prep_cleanup_dense.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -130,6 +136,38 @@ def prep_cleanup_streams(datas, lcups, scups, min_words=None):
         mel.ctypes.data, mel_w, vlc.ctypes.data, vlc_w,
         ms.ctypes.data, ms_w)
     return {'mel': mel, 'vlc': vlc, 'ms': ms}
+
+
+def prep_refine_streams(datas, lcups, len2s, min_words=None,
+                        nthreads: int = 0):
+    """Native SigProp/MagRef stream prep; same contract as
+    block_refine.prep_refine_streams_np (datas[i] holds at least
+    lcups[i] + len2s[i] bytes)."""
+    lib = _load()
+    assert lib is not None
+    n = len(datas)
+    lcups = np.ascontiguousarray(lcups, dtype=np.int64)
+    len2s = np.ascontiguousarray(len2s, dtype=np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    for i, d in enumerate(datas):
+        offsets[i + 1] = offsets[i] + len(d)
+    blob = b''.join(bytes(d) for d in datas)
+    data = np.frombuffer(blob, dtype=np.uint8)
+    l2max = int(len2s.max()) if n else 0
+    w = int((l2max * 8 + 1 + 31) // 32 + 2)
+    ws, wm = w, w
+    if min_words is not None:
+        ws = max(ws, min_words[0])
+        wm = max(wm, min_words[1])
+    spp = np.zeros((n, ws), dtype=np.uint32)
+    mrp = np.zeros((n, wm), dtype=np.uint32)
+    if nthreads <= 0:
+        nthreads = min(8, os.cpu_count() or 1)
+    lib.prep_refine_streams(
+        data.ctypes.data, offsets.ctypes.data, lcups.ctypes.data,
+        len2s.ctypes.data, n, spp.ctypes.data, ws,
+        mrp.ctypes.data, wm, nthreads)
+    return {'spp': spp, 'mrp': mrp}
 
 
 def t2_parse_packet(data: np.ndarray, pos: int, data_left: int,

@@ -125,6 +125,68 @@ void prep_cleanup_streams(const uint8_t* data, const int64_t* offsets,
   }
 }
 
+// prep_refine_streams: dense SigProp (forward, zero fill) and MagRef
+// (backward, rev_init_mrp unstuffing) bit streams of the refinement
+// segment data[lcup : lcup+len2] per lane
+// (ojph_block_decoder32.cpp:517-575, 581-723; see
+// openjph_tpu/tpu/block_refine.py for the numpy reference).
+void prep_refine_streams(const uint8_t* data, const int64_t* offsets,
+                         const int64_t* lcups, const int64_t* len2s,
+                         int64_t n, uint32_t* spp_out, int64_t spp_words,
+                         uint32_t* mrp_out, int64_t mrp_words,
+                         int64_t nthreads) {
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      const uint8_t* d = data + offsets[i] + lcups[i];
+      const int64_t len = len2s[i];
+
+      // ---- SigProp forward: LSB-first, 7 bits after 0xFF, zero fill
+      {
+        BitWriter bw(spp_out + i * spp_words);
+        uint8_t prev = 0;
+        uint32_t carry = 0;
+        for (int64_t k = 0; k < len; ++k) {
+          const uint8_t b = d[k];
+          const bool dropb = prev == 0xFF;
+          bw.push_bits_lsb(b | carry, dropb ? 7 : 8);
+          carry = dropb ? (b >> 7) : 0;
+          prev = b;
+        }
+      }
+
+      // ---- MagRef backward from d[len-1]: LSB-first, bit 7 dropped
+      // when the previously-read byte was > 0x8F (initially treated
+      // as true) and this byte's low 7 bits are all ones; the dropped
+      // bit ORs into the next byte's b0; a bit dropped from the last
+      // byte stays visible before the zero fill.
+      {
+        BitWriter bw(mrp_out + i * mrp_words);
+        bool unstuff = true;
+        uint32_t carry = 0;
+        for (int64_t k = len - 1; k >= 0; --k) {
+          const uint8_t b = d[k];
+          const bool dropb = unstuff && ((b & 0x7F) == 0x7F);
+          bw.push_bits_lsb(b | carry, dropb ? 7 : 8);
+          carry = dropb ? (b >> 7) : 0;
+          unstuff = b > 0x8F;
+        }
+        if (carry) bw.push_bits_lsb(carry, 1);  // dangled tail bit
+      }
+    }
+  };
+  if (nthreads <= 1 || n < 64) {
+    work(0, n);
+    return;
+  }
+  std::vector<std::thread> ts;
+  const int64_t step = (n + nthreads - 1) / nthreads;
+  for (int64_t t = 0; t < nthreads && t * step < n; ++t) {
+    int64_t lo = t * step, hi = lo + step < n ? lo + step : n;
+    ts.emplace_back(work, lo, hi);
+  }
+  for (auto& th : ts) th.join();
+}
+
 }  // extern "C"
 
 namespace {

@@ -114,6 +114,8 @@ class _Group:
     live: list = field(default_factory=list)
     n_pad: int = 0
     words: Tuple[int, int, int] = (0, 0, 0)
+    # refine-stream word widths (0, 0) when no lane has SigProp/MagRef
+    rwords: Tuple[int, int] = (0, 0)
 
 
 @dataclass
@@ -127,8 +129,11 @@ class _Plan:
     # per tile: (mct, (comp struct, ...))
     tiles: List[tuple]
     # record-mode per-lane arrays in meta order (pos, lcup, scup, p,
-    # qhl); pos == -1 marks a dead/padding lane
+    # qhl); pos == -1 marks a dead/padding lane.  Plans with
+    # refinement passes extend this with (npasses, len2, h_true,
+    # causal) and set has_refine.
     lanes: object = None
+    has_refine: bool = False
 
 
 _RUNNERS: Dict[tuple, object] = {}
@@ -278,7 +283,8 @@ class _Skel:
 
 
 class _SkelGroup:
-    __slots__ = ('gid', 'w', 'h', 'n_pad', 'nm', 'qh_geom', 'segs')
+    __slots__ = ('gid', 'w', 'h', 'n_pad', 'nm', 'qh_geom', 'h_geom',
+                 'causal_geom', 'segs')
 
 
 _SKELS: 'OrderedDict' = None
@@ -340,6 +346,8 @@ def _build_skeleton(dec, tile_indices):
                     grp0 = None
                     seg_idx = []
                     seg_qh = []
+                    seg_h = []
+                    causal = dec.hdr.get_cod(c).vert_causal
                     run = None  # (gid, lane0, ncols, h_true, y0, x0)
                     for g in sb.blocks:
                         grp = groups.get(g.rect.w)
@@ -350,6 +358,8 @@ def _build_skeleton(dec, tile_indices):
                             grp.h = 0
                             grp.nm = 0
                             grp.qh_geom = []
+                            grp.h_geom = []
+                            grp.causal_geom = []
                             grp.segs = []
                             groups[g.rect.w] = grp
                         if grp0 is not None and grp is not grp0 \
@@ -358,13 +368,16 @@ def _build_skeleton(dec, tile_indices):
                                 (ti, c, r, b,
                                  np.asarray(seg_idx, np.int64)))
                             grp0.qh_geom += seg_qh
-                            seg_idx, seg_qh = [], []
+                            grp0.h_geom += seg_h
+                            grp0.causal_geom += [causal] * len(seg_idx)
+                            seg_idx, seg_qh, seg_h = [], [], []
                         grp0 = grp
                         lane = grp.nm
                         grp.nm += 1
                         grp.h = max(grp.h, g.rect.h)
                         seg_idx.append(g.cb_y * sb.num_cb_x + g.cb_x)
                         seg_qh.append((g.rect.h + 1) >> 1)
+                        seg_h.append(g.rect.h)
                         y0 = g.rect.y0 - sb.rect.y0
                         x0 = g.rect.x0 - sb.rect.x0
                         if run is not None and run[0] == grp.gid \
@@ -384,6 +397,8 @@ def _build_skeleton(dec, tile_indices):
                         grp0.segs.append(
                             (ti, c, r, b, np.asarray(seg_idx, np.int64)))
                         grp0.qh_geom += seg_qh
+                        grp0.h_geom += seg_h
+                        grp0.causal_geom += [causal] * len(seg_idx)
                 h_even = (res.rect.x0 & 1) == 0
                 v_even = (res.rect.y0 & 1) == 0
                 res_specs.append((tuple(bids), h_even, v_even))
@@ -400,6 +415,8 @@ def _build_skeleton(dec, tile_indices):
     for grp in glist:
         grp.n_pad = _bucket(grp.nm, lo=128 if _use_pallas() else 8)
         grp.qh_geom = np.asarray(grp.qh_geom, np.int32)
+        grp.h_geom = np.asarray(grp.h_geom, np.int32)
+        grp.causal_geom = np.asarray(grp.causal_geom, bool)
 
     merged = []
     for (gid, lane0, ncols, h_t, y0, x0, bid) in placements:
@@ -433,6 +450,8 @@ def _build_plan_records(dec, tile_indices=None) -> Optional[_Plan]:
     glist = []
     key_groups = []
     pos_l, lcup_l, scup_l, p_l, qhl_l = [], [], [], [], []
+    np_l, l2_l, h_l, cs_l = [], [], [], []
+    any_refine = False
     for g in skel.groups:
         rows = np.empty((g.nm, 6), np.int32)
         poss = np.empty(g.nm, np.int64)
@@ -446,12 +465,16 @@ def _build_plan_records(dec, tile_indices=None) -> Optional[_Plan]:
         mm = rows[:, 0]
         npss = rows[:, 1]
         l0 = rows[:, 2]
+        l1 = rows[:, 3]
         inc = rows[:, 4]
         nb = rows[:, 5]
         dead = (inc == 0) | (npss == 0) | (l0 == 0) | (nb == 0)
         live = ~dead
-        if bool(np.any(live & ((npss > 1) | (mm >= 30) | (l0 < 2)))):
-            return None  # refinement passes / >30 planes: slow path
+        if bool(np.any(live & ((npss > 3) | (mm >= 30) | (l0 < 2)))):
+            return None  # >30 planes: slow path
+        # reference pass-count clamps (decode_codeblock)
+        npss = np.where(live & ((l1 == 0) | (mm >= 29)), 1, npss)
+        l1 = np.where(npss <= 1, 0, l1)
         last = np.where(live, poss + l0, 2)
         scup = ((buf[last - 1].astype(np.int32) << 4)
                 + (buf[last - 2] & 0xF))
@@ -464,6 +487,10 @@ def _build_plan_records(dec, tile_indices=None) -> Optional[_Plan]:
         pos_a = np.where(live, poss, -1)
         p_a = np.where(live, 30 - mm, 30).astype(np.int32)
         qhl_a = np.where(live, g.qh_geom, 0).astype(np.int32)
+        np_a = np.where(live, npss, 1).astype(np.int32)
+        l2_a = np.where(live, l1, 0).astype(np.int64)
+        h_a = np.where(live, g.h_geom, 0).astype(np.int32)
+        cs_a = g.causal_geom.copy()
         if pad:
             lcup_a = np.concatenate(
                 [lcup_a, np.full(pad, 2, np.int64)])
@@ -472,6 +499,10 @@ def _build_plan_records(dec, tile_indices=None) -> Optional[_Plan]:
             pos_a = np.concatenate([pos_a, np.full(pad, -1, np.int64)])
             p_a = np.concatenate([p_a, np.full(pad, 30, np.int32)])
             qhl_a = np.concatenate([qhl_a, np.zeros(pad, np.int32)])
+            np_a = np.concatenate([np_a, np.ones(pad, np.int32)])
+            l2_a = np.concatenate([l2_a, np.zeros(pad, np.int64)])
+            h_a = np.concatenate([h_a, np.zeros(pad, np.int32)])
+            cs_a = np.concatenate([cs_a, np.zeros(pad, bool)])
         if bool(live.any()):
             smax = int(scup_a[:g.nm][live].max())
             msmax = int((lcup_a[:g.nm] - scup_a[:g.nm])[live].max())
@@ -481,21 +512,34 @@ def _build_plan_records(dec, tile_indices=None) -> Optional[_Plan]:
             words = (wm, wv, ws)
         else:
             words = (8, 8, 8)
+        l2max = int(l2_a.max()) if l2_a.size else 0
+        rwords = (0, 0)
+        if l2max > 0:
+            wr = _bucket((l2max * 8 + 31) // 32 + 3)
+            rwords = (wr, wr)
+            any_refine = True
         grp = _Group(g.gid, g.w, g.h, members=[None] * g.nm,
-                     n_pad=g.n_pad, words=words)
+                     n_pad=g.n_pad, words=words, rwords=rwords)
         glist.append(grp)
-        key_groups.append((g.gid, g.w, g.h, g.n_pad, words))
+        key_groups.append((g.gid, g.w, g.h, g.n_pad, words, rwords))
         pos_l.append(pos_a)
         lcup_l.append(lcup_a)
         scup_l.append(scup_a)
         p_l.append(p_a)
         qhl_l.append(qhl_a)
+        np_l.append(np_a)
+        l2_l.append(l2_a)
+        h_l.append(h_a)
+        cs_l.append(cs_a)
     key = (tuple(key_groups), tuple(skel.merged), tuple(skel.bands),
            tuple(skel.tiles))
     plan = _Plan(key, glist, skel.merged, skel.bands, skel.tiles)
     plan.lanes = (np.concatenate(pos_l), np.concatenate(lcup_l),
                   np.concatenate(scup_l), np.concatenate(p_l),
-                  np.concatenate(qhl_l))
+                  np.concatenate(qhl_l), np.concatenate(np_l),
+                  np.concatenate(l2_l), np.concatenate(h_l),
+                  np.concatenate(cs_l))
+    plan.has_refine = any_refine
     return plan
 
 
@@ -536,7 +580,11 @@ def _make_runner(plan: _Plan, nframes: int = 1, shard=None,
         from .block_decode_pallas import decode_cleanup_pallas
     if device_unstuff:
         from .unstuff import unstuff_mel, unstuff_ms, unstuff_vlc
+    has_refine = any(g.rwords[0] > 0 for g in groups)
+    if has_refine:
+        from .block_refine import refine_core
     wordss = [g.words for g in groups]
+    rwordss = [g.rwords for g in groups]
     lane_starts = []
     tl = 0
     for g in groups:
@@ -544,16 +592,22 @@ def _make_runner(plan: _Plan, nframes: int = 1, shard=None,
         tl += g.n_pad
 
     def run(*args):
+        rmeta = None
         if device_unstuff:
             buf, = args
             words = buf
             meta = jax.lax.bitcast_convert_type(
                 buf[buf.shape[0] - F * tl * 8:], jnp.int32)
+        elif has_refine:
+            words, meta, rmeta = args
+            rmeta = rmeta.reshape(F, tl, 8)
         else:
             words, meta = args
         meta = meta.reshape(F, tl, 8)
         if shard is not None:
             meta = jax.lax.with_sharding_constraint(meta, shard)
+            if rmeta is not None:
+                rmeta = jax.lax.with_sharding_constraint(rmeta, shard)
         decs = []
         errs = []
         for i, (nm, npad, w, h) in enumerate(
@@ -591,6 +645,24 @@ def _make_runner(plan: _Plan, nframes: int = 1, shard=None,
                 d, e = decode_cleanup_pallas(mel, vlc, ms, p, w, h, qhl)
             else:
                 d, e = decode_cleanup_core(mel, vlc, ms, p, w, h, qhl)
+            if rwordss[i][0] > 0:
+                # SigProp/MagRef refinement in the same fused graph
+                # (tpu/block_refine.py)
+                rg = rmeta[:, s0:s0 + npad].reshape(F * npad, 8)
+
+                def runpack(oc, lc, W):
+                    off = rg[:, oc]
+                    ln = rg[:, lc]
+                    j = jnp.arange(W, dtype=jnp.int32)[None, :]
+                    valid = j < ln[:, None]
+                    idx = jnp.where(valid, off[:, None] + j, 0)
+                    wv = jnp.take(words, idx, mode='clip')
+                    return jnp.where(valid, wv, jnp.uint32(0))
+
+                spp = runpack(0, 1, rwordss[i][0])
+                mrp = runpack(2, 3, rwordss[i][1])
+                d = refine_core(d, spp, mrp, p, rg[:, 4], rg[:, 5],
+                                rg[:, 6] != 0, w, h)
             d = jnp.where(qhl[:, None, None] > 0, d, jnp.uint32(0))
             decs.append(d.reshape(F, npad, h, w))
             errs.append(e.reshape(F, npad)[:, :nm])
@@ -673,14 +745,22 @@ def _pack_burst(frames_groups: List[List[dict]]):
 
     meta columns per lane: mel_off, lm, vlc_off, lv, ms_off, ls, p,
     qhl (offsets absolute into the words buffer; qhl==0 marks a dead
-    lane)."""
+    lane).  Groups with refinement passes pack their SigProp/MagRef
+    streams into the same buffer and contribute a second meta plane
+    (rmeta: spp_off, lsp, mrp_off, lmr, npasses, h_true, causal, 0);
+    the return grows to (words, meta, rmeta)."""
     chunks = []
     metas = []
+    rmetas = []
+    any_refine = any('spp' in gd for fg in frames_groups for gd in fg)
     cursor = 0
     for fg in frames_groups:
         for gd in fg:
             cols = []
-            for k, lk in (('mel', 'lm'), ('vlc', 'lv'), ('ms', 'ls')):
+            keys = [('mel', 'lm'), ('vlc', 'lv'), ('ms', 'ls')]
+            if 'spp' in gd:
+                keys += [('spp', 'lsp'), ('mrp', 'lmr')]
+            for k, lk in keys:
                 arr, ln = gd[k], gd[lk]
                 w = arr.shape[1]
                 mask = np.arange(w, dtype=np.int32)[None, :] < ln[:, None]
@@ -689,13 +769,25 @@ def _pack_burst(frames_groups: List[List[dict]]):
                     [[0], np.cumsum(ln[:-1], dtype=np.int64)])
                 cursor += int(ln.sum())
                 cols += [offs.astype(np.int32), ln]
-            cols += [gd['p'], gd['qhl']]
-            metas.append(np.stack(cols, axis=1))
+            n = gd['p'].shape[0]
+            metas.append(np.stack(cols[:6] + [gd['p'], gd['qhl']],
+                                  axis=1))
+            if any_refine:
+                if 'spp' in gd:
+                    rmetas.append(np.stack(
+                        cols[6:10] + [gd['np'], gd['ht'], gd['causal'],
+                                      np.zeros(n, np.int32)], axis=1))
+                else:
+                    rmetas.append(np.zeros((n, 8), np.int32))
     words = np.concatenate(chunks)
     dpad = _bucket_words(words.size)
     words = np.pad(words, (0, dpad - words.size))
     meta = np.ascontiguousarray(np.concatenate(metas, axis=0),
                                 np.int32)
+    if any_refine:
+        rmeta = np.ascontiguousarray(np.concatenate(rmetas, axis=0),
+                                     np.int32)
+        return words, meta.reshape(-1), rmeta.reshape(-1)
     return words, meta.reshape(-1)
 
 
@@ -773,9 +865,9 @@ def _pack_device_records(pairs):
 
 def _pack(pairs):
     """Pack a burst of (decoder, plan) pairs into (dense words, word
-    meta) for the host-unstuff runner."""
+    meta[, refine meta]) for the host-unstuff runner."""
     from .. import native
-    if native.have_native():
+    if native.have_native() and not pairs[0][1].has_refine:
         return _pack_burst_fast(pairs)
     return _pack_burst([d._group_arrays(p) for d, p in pairs])
 
@@ -785,8 +877,10 @@ def _pack_auto(pairs):
     args): a single raw-bytes+meta buffer when unstuffing runs
     on-device (the smallest upload), (dense words, word meta)
     otherwise — including the rare fallback when a stream's stuffing
-    density would blow the unstuff kernel's K-candidate budget."""
-    if _device_unstuff():
+    density would blow the unstuff kernel's K-candidate budget.
+    Plans with refinement passes take the host-unstuff path (the
+    on-device unstuffer covers the cleanup streams only)."""
+    if _device_unstuff() and not pairs[0][1].has_refine:
         r = _pack_device(pairs)
         if r is not None:
             return True, r
@@ -912,14 +1006,26 @@ class TpuDecoder(Decoder):
         out = []
         s0 = 0
         for g in plan.groups:
+            refine = g.rwords[0] > 0
+            len2s = np_ = hts = caus = None
             if plan.lanes is not None:  # record-mode plan
-                posa, lcupa, scupa, pa, qhla = plan.lanes
+                posa, lcupa, scupa, pa, qhla = plan.lanes[:5]
                 sl = slice(s0, s0 + g.n_pad)
                 s0 += g.n_pad
                 buf = self.data
-                datas = [bytes(buf[posa[i]:posa[i] + lcupa[i]])
-                         if posa[i] >= 0 else self._DUMMY
-                         for i in range(sl.start, sl.stop)]
+                if refine:
+                    np_ = plan.lanes[5][sl].copy()
+                    len2s = plan.lanes[6][sl].copy()
+                    hts = plan.lanes[7][sl].copy()
+                    caus = plan.lanes[8][sl].copy()
+                    datas = [bytes(buf[posa[i]:posa[i] + lcupa[i]
+                                       + plan.lanes[6][i]])
+                             if posa[i] >= 0 else self._DUMMY
+                             for i in range(sl.start, sl.stop)]
+                else:
+                    datas = [bytes(buf[posa[i]:posa[i] + lcupa[i]])
+                             if posa[i] >= 0 else self._DUMMY
+                             for i in range(sl.start, sl.stop)]
                 lcups = lcupa[sl].copy()
                 scups = scupa[sl].copy()
                 miss = (30 - pa[sl]).astype(np.int32)
@@ -948,7 +1054,7 @@ class TpuDecoder(Decoder):
             streams = prep_cleanup_streams(datas, lcups, scups,
                                            min_words=g.words)
             wm, wv, ws = g.words
-            out.append({
+            gd = {
                 'mel': streams['mel'], 'vlc': streams['vlc'],
                 'ms': streams['ms'],
                 'lm': np.minimum(wm, (scups - 1) * 8 // 32 + 3)
@@ -959,14 +1065,27 @@ class TpuDecoder(Decoder):
                       .astype(np.int32),
                 'p': (30 - miss).astype(np.int32),
                 'qhl': qhl,
-            })
+            }
+            if refine:
+                from .block_refine import prep_refine_streams
+                ref = prep_refine_streams(datas, lcups, len2s,
+                                             min_words=g.rwords)
+                wr = g.rwords[0]
+                lr = np.minimum(wr, len2s * 8 // 32 + 3) \
+                    .astype(np.int32)
+                gd.update({'spp': ref['spp'], 'mrp': ref['mrp'],
+                           'lsp': lr, 'lmr': lr.copy(),
+                           'np': np_.astype(np.int32),
+                           'ht': hts.astype(np.int32),
+                           'causal': caus.astype(np.int32)})
+            out.append(gd)
         return out
 
     def _lane_info(self, plan: _Plan):
         """Per-lane raw segment info in meta order (groups in gid
         order, members then padding), for the native dense prep."""
         if plan.lanes is not None:  # record-mode plan: slice the data
-            pos, lcup, scup, ps, qhl = plan.lanes
+            pos, lcup, scup, ps, qhl = plan.lanes[:5]
             buf = self.data
             datas = [bytes(buf[pos[i]:pos[i] + lcup[i]])
                      if pos[i] >= 0 else self._DUMMY
@@ -1075,6 +1194,14 @@ class TpuDecoder(Decoder):
         missings = np.array([cb.missing_msbs for cb, _ in items], np.int32)
         scups = np.array([(d[lc - 1] << 4) + (d[lc - 2] & 0xF)
                           for d, lc in zip(datas, lcups)], np.int64)
+        npasses = np.array([cb.num_passes for cb, _ in items], np.int32)
+        len2s = np.array([cb.pass_length[1] if cb.num_passes > 1 else 0
+                          for cb, _ in items], np.int64)
+        causal = np.array([self.hdr.get_cod(key[1]).vert_causal
+                           for _, (key, _, _) in items], bool)
+        # reference pass-count clamps (decode_codeblock / decoder32.cpp)
+        npasses = np.where((len2s == 0) | (missings >= 29), 1, npasses)
+        len2s = np.where(npasses <= 1, 0, len2s)
         bad = (scups < 2) | (scups > lcups) | (scups > 4079)
         if bad.any():
             if not self.resilient:
@@ -1082,8 +1209,9 @@ class TpuDecoder(Decoder):
             keep = ~bad
             items = [it for it, k in zip(items, keep) if k]
             datas = [d for d, k in zip(datas, keep) if k]
-            lcups, missings, scups = (a[keep] for a in
-                                      (lcups, missings, scups))
+            lcups, missings, scups, npasses, len2s, causal = \
+                (a[keep] for a in (lcups, missings, scups, npasses,
+                                   len2s, causal))
             n = len(items)
             if n == 0:
                 return
@@ -1093,34 +1221,32 @@ class TpuDecoder(Decoder):
         lcups = np.concatenate([lcups, np.repeat(lcups[:1], pad)])
         missings = np.concatenate([missings, np.repeat(missings[:1], pad)])
         scups = np.concatenate([scups, np.repeat(scups[:1], pad)])
+        npasses = np.concatenate([npasses, np.repeat(npasses[:1], pad)])
+        len2s = np.concatenate([len2s, np.repeat(len2s[:1], pad)])
+        causal = np.concatenate([causal, np.repeat(causal[:1], pad)])
         streams = prep_cleanup_streams(datas, lcups, scups)
         p = (30 - missings).astype(np.int32)
-        dec, err = decode_cleanup(streams['mel'], streams['vlc'],
-                                  streams['ms'], p, w, h)
+        if npasses.max() > 1:
+            # SigProp/MagRef refine on-device in the same dispatch
+            # (tpu/block_refine.py; ojph_block_decoder32.cpp:1318-1611)
+            from .block_refine import (decode_cleanup_refine,
+                                       prep_refine_streams)
+            ref = prep_refine_streams(datas, lcups, len2s)
+            dec, err = decode_cleanup_refine(
+                streams['mel'], streams['vlc'], streams['ms'],
+                ref['spp'], ref['mrp'], p, npasses,
+                np.full(nb, h, np.int32), causal, w, h)
+        else:
+            dec, err = decode_cleanup(streams['mel'], streams['vlc'],
+                                      streams['ms'], p, w, h)
         dec = np.asarray(dec)
         err = np.asarray(err)[:n]
         if err.any() and not self.resilient:
             raise ValueError('U_q exceeds missing_msbs + 2')
-        from ..coding.decoder import _decode_spp_mrp, _sig_from_dec
         for i, (cb, (key, y0, x0)) in enumerate(items):
             if err[i]:
                 continue  # resilient: leave as zero block
             self._band_planes[key][y0:y0 + h, x0:x0 + w] = dec[i]
-            if cb.num_passes > 1 and cb.pass_length[1] > 0:
-                # SigProp/MagRef refine the batched cleanup result
-                # in place (the slice is a view into the band plane)
-                view = self._band_planes[key][y0:y0 + h, x0:x0 + w]
-                try:
-                    _decode_spp_mrp(
-                        np.frombuffer(bytes(cb.data),
-                                      np.uint8).astype(np.int64),
-                        view, 30 - cb.missing_msbs, cb.num_passes,
-                        cb.pass_length[0], cb.pass_length[1], w, h,
-                        _sig_from_dec(view, w, h),
-                        self.hdr.get_cod(key[1]).vert_causal)
-                except ValueError:
-                    if not self.resilient:
-                        raise
 
     # -- slow-path reconstruction (device ops, per-band dispatches) --------
     def _reconstruct_comp(self, st, c: int) -> np.ndarray:

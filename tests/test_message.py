@@ -106,3 +106,23 @@ def test_resilient_decode_still_works_with_coded_errors():
         oj.decode(bytes(bs), resilient=True)
     except (ValueError, EOFError):
         pass  # resilience is best-effort; no other exception types
+
+
+def test_multilayer_stream_rejected():
+    """>1 quality layer must raise the reference's coded error at COD
+    read time (ojph_codestream_local.cpp:794-798) instead of silently
+    misparsing packet headers."""
+    import numpy as np
+    from openjph_tpu.core.message import OjphError
+    img = np.zeros((32, 32), np.int32)
+    bs = bytearray(oj.encode(img, reversible=True))
+    i = bs.find(b'\xff\x52')  # COD: marker,Lcod,Scod,prog,layers(u16)
+    assert i > 0 and bs[i + 6:i + 8] == b'\x00\x01'
+    bs[i + 6:i + 8] = (512).to_bytes(2, 'big')
+    with pytest.raises(OjphError) as ei:
+        oj.decode(bytes(bs))
+    assert ei.value.code == 0x00030053
+    bs[i + 6:i + 8] = (2).to_bytes(2, 'big')
+    with pytest.raises(OjphError) as ei:
+        oj.decode(bytes(bs))
+    assert ei.value.code == 0x00030053
