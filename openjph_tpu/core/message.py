@@ -65,9 +65,10 @@ _warning = _Level('warning', None)
 _error = _Level('error', None)
 
 # message levels (OJPH_MSG_LEVEL, ojph_message.h:47-56): messages below
-# the global level are suppressed at their sink AND as Python warnings.
-# Errors always raise regardless of level.
-NO_MSG, INFO, WARN, ERROR = 0, 1, 2, 3
+# the global level are suppressed at their sink AND as Python warnings;
+# NO_MSG (the highest) silences everything.  Errors always raise
+# regardless of level.
+ALL_MSG, INFO, WARN, ERROR, NO_MSG = 0, 1, 2, 3, 4
 _level = INFO
 
 
