@@ -232,7 +232,10 @@ def _make_kernel(qw: int, qh: int, S: int, wm: int, wv: int, ws: int,
     def kernel(melw, vlcw, msw, p_ref, qhl_ref, vlct, uvlct,
                dec_out, err_out,
                state, inf_prev, inf_cur, u_row, scr, newv):
-        r = pl.program_id(0)
+        # grid = (lane tiles, quad rows); rows iterate innermost so the
+        # VMEM reader/significance state persists across a tile's rows
+        # and re-initializes at each tile's row 0
+        r = pl.program_id(1)
         zero = jnp.zeros((S, 128), _U32)
 
         @pl.when(r == 0)
@@ -440,6 +443,27 @@ def _tables_chunks():
     return vlc.reshape(16, 128), uvlc.reshape(6, 128)
 
 
+# VMEM working-set budget per lane tile (bytes).  The scoped limit is
+# 16 MiB; leave headroom for Mosaic's own temporaries.
+_VMEM_BUDGET = 8 << 20
+
+
+def _lane_tile(S: int, qw: int, wm: int, wv: int, ws: int) -> int:
+    """Largest divisor of S whose per-tile VMEM working set (stream
+    blocks + output row block + scratch) fits the budget — the batch
+    axis is tiled by the grid, so total lane count never constrains
+    compilation."""
+    qw2 = ((qw + 1) // 2) * 2
+    rows = (wm + wv + ws) + 2 + qw * 4 + 1 \
+        + 24 + 2 * (qw2 + 3) + qw2 + 2 * (qw + 2)
+    per_sb = rows * 128 * 4
+    sb_max = max(1, _VMEM_BUDGET // per_sb)
+    for d in range(min(S, sb_max), 0, -1):
+        if S % d == 0:
+            return d
+    return 1
+
+
 @partial(jax.jit, static_argnums=(5, 6, 7))
 def _run_pallas(melw, vlcw, msw, p, qhl, dims, nlanes,
                 interpret=False):
@@ -447,8 +471,10 @@ def _run_pallas(melw, vlcw, msw, p, qhl, dims, nlanes,
     qw, qh, width = dims
     S = nlanes // 128
     wm, wv, ws = melw.shape[1], vlcw.shape[1], msw.shape[1]
+    SB = _lane_tile(S, qw, wm, wv, ws)
+    n_sb = S // SB
 
-    kern = _make_kernel(qw, qh, S, wm, wv, ws, width)
+    kern = _make_kernel(qw, qh, SB, wm, wv, ws, width)
 
     vlct, uvlct = _tables_chunks()
 
@@ -456,25 +482,27 @@ def _run_pallas(melw, vlcw, msw, p, qhl, dims, nlanes,
         return w.reshape(S, 128, w.shape[1]).transpose(2, 0, 1)
 
     qw2 = ((qw + 1) // 2) * 2
-    grid = (qh,)
-    const3 = lambda r: (0, 0, 0)
-    const2 = lambda r: (0, 0)
+    grid = (n_sb, qh)
+    strm3 = lambda sb, r: (0, sb, 0)
+    lane2 = lambda sb, r: (sb, 0)
+    const2 = lambda sb, r: (0, 0)
     dec, err = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((wm, S, 128), const3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((wv, S, 128), const3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ws, S, 128), const3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, 128), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, 128), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wm, SB, 128), strm3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wv, SB, 128), strm3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ws, SB, 128), strm3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((SB, 128), lane2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((SB, 128), lane2, memory_space=pltpu.VMEM),
             pl.BlockSpec((16, 128), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((6, 128), const2, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, qw * 4, S, 128), lambda r: (r, 0, 0, 0),
+            pl.BlockSpec((1, qw * 4, SB, 128),
+                         lambda sb, r: (r, 0, sb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, 128), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((SB, 128), lane2, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((qh, qw * 4, S, 128), jnp.uint32),
@@ -482,12 +510,12 @@ def _run_pallas(melw, vlcw, msw, p, qhl, dims, nlanes,
         ],
         interpret=interpret,
         scratch_shapes=[
-            pltpu.VMEM((24, S, 128), jnp.uint32),      # reader state
-            pltpu.VMEM((qw2 + 3, S, 128), jnp.uint32),  # inf_prev
-            pltpu.VMEM((qw2 + 3, S, 128), jnp.uint32),  # inf_cur
-            pltpu.VMEM((qw2, S, 128), jnp.uint32),      # u_row
-            pltpu.VMEM((qw + 2, S, 128), jnp.uint32),   # scr
-            pltpu.VMEM((qw + 2, S, 128), jnp.uint32),   # newv
+            pltpu.VMEM((24, SB, 128), jnp.uint32),      # reader state
+            pltpu.VMEM((qw2 + 3, SB, 128), jnp.uint32),  # inf_prev
+            pltpu.VMEM((qw2 + 3, SB, 128), jnp.uint32),  # inf_cur
+            pltpu.VMEM((qw2, SB, 128), jnp.uint32),      # u_row
+            pltpu.VMEM((qw + 2, SB, 128), jnp.uint32),   # scr
+            pltpu.VMEM((qw + 2, SB, 128), jnp.uint32),   # newv
         ],
     )(tr(melw), tr(vlcw), tr(msw),
       p.reshape(S, 128), qhl.reshape(S, 128), vlct, uvlct)
