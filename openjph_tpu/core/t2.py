@@ -95,8 +95,71 @@ def encode_precinct(res: ResolutionGeom, prec_idx: int,
 
     ``coded[band_num]`` is the per-band list (row-major over the band's
     codeblock grid) of CodedBlock or None for bands without blocks.
-    Returns the full packet bytes.
+    Returns the full packet bytes.  Dispatches to the native C++
+    emitter (the hot host loop of VideoEncoder Tier-2) with this
+    Python body as the reference fallback.
     """
+    from .. import native
+    if native.have_native():
+        r = _encode_precinct_native(res, prec_idx, coded, uses_eph,
+                                    uses_sop)
+        if r is not None:
+            return r
+    return _encode_precinct_py(res, prec_idx, coded, uses_eph,
+                               uses_sop)
+
+
+def _encode_precinct_native(res, prec_idx, coded, uses_eph, uses_sop):
+    from .. import native
+    prec = res.precincts[prec_idx]
+    bands = np.zeros((4, 7), np.int32)
+    rec_rows = []
+    datas = []
+    maxcb = 0
+    for s in range(4):
+        sb = res.bands[s]
+        if sb is None or sb.empty:
+            continue
+        bi = prec.bands[s]
+        if bi.num_x == 0 or bi.num_y == 0:
+            continue
+        bands[s, :3] = (1, bi.num_x, bi.num_y)
+        maxcb += bi.num_x * bi.num_y
+        cbs = coded[s]
+        for y in range(bi.num_y):
+            row0 = (bi.org_y + y) * sb.num_cb_x + bi.org_x
+            for x in range(bi.num_x):
+                cb = cbs[row0 + x]
+                if cb is None or not cb.data:
+                    rec_rows.append((0, 0, 0, 0, 0))
+                else:
+                    np_ = cb.num_passes
+                    if np_ < 1 or np_ > 3:
+                        _err(0x000300F2, 'unsupported num_passes')
+                    rec_rows.append((1, cb.missing_msbs, np_,
+                                     cb.pass_length[0],
+                                     cb.pass_length[1]))
+                    datas.append(cb.data)
+    if not datas:
+        return b'\x00'  # empty packet: single 0 bit in one byte
+    recs = np.asarray(rec_rows, np.int32)
+    out = np.empty(32 * maxcb + 64, np.uint8)
+    n = native.t2_emit_packet(bands, recs, out)
+    if n < 0:
+        return None  # overflow: Python fallback
+    header = out[:n].tobytes()
+    if uses_eph:
+        header += b'\xff\x92'
+    packet = header + b''.join(datas)
+    if uses_sop:
+        packet = b'\xff\x91\x00\x04\x00\x00' + packet
+    return packet
+
+
+def _encode_precinct_py(res: ResolutionGeom, prec_idx: int,
+                        coded: List[List[Optional[CodedBlock]]],
+                        uses_eph: bool = False,
+                        uses_sop: bool = False) -> bytes:
     prec = res.precincts[prec_idx]
     bw = BitWriter()
     started = False

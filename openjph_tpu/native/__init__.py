@@ -71,6 +71,10 @@ def _load():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p]
+        lib.t2_emit_packet.restype = ctypes.c_int64
+        lib.t2_emit_packet.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64]
         lib.build_seg_blob.restype = None
         lib.build_seg_blob.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -182,6 +186,16 @@ def t2_parse_packet(data: np.ndarray, pos: int, data_left: int,
         1 if skip_data else 0,
         bands.ctypes.data, out_cb.ctypes.data, out_pos.ctypes.data,
         st.ctypes.data))
+
+
+def t2_emit_packet(bands: np.ndarray, recs: np.ndarray,
+                   out: np.ndarray) -> int:
+    """Emit one packet header (see ojtpu_native.cpp); returns header
+    length, -1 on overflow, -2 on unsupported num_passes."""
+    lib = _load()
+    assert lib is not None
+    return int(lib.t2_emit_packet(bands.ctypes.data, recs.ctypes.data,
+                                  out.ctypes.data, out.shape[0]))
 
 
 def build_seg_blob(blob: bytes, offsets, lcups, scups, lane_off,

@@ -11,6 +11,7 @@
 //
 // Build: g++ -O3 -shared -fPIC (driven by openjph_tpu/native/__init__.py).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -722,6 +723,185 @@ int64_t t2_parse_packet(const uint8_t* buf, int64_t pos,
   st[1] = left;
   st[2] = n_out;
   return 0;
+}
+
+}  // extern "C"
+
+namespace {
+
+struct HdrWriter {  // core/bitio.py BitWriter semantics (MSB-first,
+                    // 7-bit byte after an emitted 0xFF)
+  uint8_t* out;
+  int64_t cap;
+  int64_t n = 0;
+  int avail = 8;
+  uint32_t tmp = 0;
+  bool ovf = false;
+  HdrWriter(uint8_t* o, int64_t c) : out(o), cap(c) {}
+  inline void put_bit(uint32_t b) {
+    --avail;
+    tmp |= (b & 1u) << avail;
+    if (avail <= 0) {
+      if (n >= cap) { ovf = true; avail = 8; tmp = 0; return; }
+      avail = 8 - (tmp == 0xFF ? 1 : 0);
+      out[n++] = static_cast<uint8_t>(tmp);
+      tmp = 0;
+    }
+  }
+  inline void put_bits(uint32_t v, int nb) {
+    for (int i = nb - 1; i >= 0; --i) put_bit((v >> i) & 1u);
+  }
+  inline void put_zeros(int nb) { for (int i = 0; i < nb; ++i) put_bit(0); }
+  inline void terminate() {
+    if (avail < 8) {
+      if (n >= cap) { ovf = true; return; }
+      out[n++] = static_cast<uint8_t>(tmp);
+      tmp = 0;
+      avail = 8;
+    }
+  }
+};
+
+struct ETagTree {  // min-reduced tag tree for emit (t2.py TagTree)
+  PTagTree t;
+  ETagTree(int w, int h, int32_t init_val) : t(w, h) {
+    for (int l = 0; l <= t.num_levels; ++l)
+      std::fill(t.val[l].begin(), t.val[l].end(),
+                l < t.num_levels ? init_val : 0);
+  }
+  void set_leaf(int x, int y, int32_t v) {
+    t.val[0][static_cast<size_t>(y) * t.lw[0] + x] = v;
+  }
+  void reduce_min() {
+    for (int l = 1; l < t.num_levels; ++l) {
+      const int cw = t.lw[l - 1], ch = t.lh[l - 1];
+      for (int y = 0; y < t.lh[l]; ++y)
+        for (int x = 0; x < t.lw[l]; ++x) {
+          int32_t m = INT32_MAX;
+          for (int dy = 0; dy < 2 && 2 * y + dy < ch; ++dy)
+            for (int dx = 0; dx < 2 && 2 * x + dx < cw; ++dx) {
+              int32_t v = t.val[l - 1][
+                  static_cast<size_t>(2 * y + dy) * cw + 2 * x + dx];
+              if (v < m) m = v;
+            }
+          t.val[l][static_cast<size_t>(y) * t.lw[l] + x] = m;
+        }
+    }
+  }
+  int32_t get(int x, int y, int lev) { return t.get(x, y, lev); }
+  int32_t& flag(int x, int y, int lev) { return t.at(t.flg, x, y, lev); }
+};
+
+inline int bit_length(uint32_t v) {
+  int n = 0;
+  while (v) { ++n; v >>= 1; }
+  return n;
+}
+
+}  // namespace
+
+extern "C" {
+
+// t2_emit_packet: write one packet header (T.800 B.10 single-layer
+// dialect; port of core/t2.py::encode_precinct, itself mirroring
+// precinct::prepare_precinct + write, ojph_precinct.cpp:94-324).
+//
+// bands: int32 [4*7] rows (present, num_x, num_y, _, _, _, _); recs:
+// int32 [sum(num_x*num_y)*5] band-major raster rows of (has_data,
+// missing_msbs, num_passes, len0, len1).  Writes header bytes to out
+// (cap bytes).  Returns header length; -1 on overflow (caller falls
+// back), -2 on unsupported num_passes.  The caller handles the empty
+// packet (no included block anywhere) itself.
+int64_t t2_emit_packet(const int32_t* bands, const int32_t* recs,
+                       uint8_t* out, int64_t cap) {
+  HdrWriter bw(out, cap);
+  bool started = false;
+  int num_skipped = 0;
+  int64_t base = 0;
+
+  for (int s = 0; s < 4; ++s) {
+    const int32_t* B = bands + s * 7;
+    if (!B[0]) continue;
+    const int num_x = B[1], num_y = B[2];
+    if (num_x == 0 || num_y == 0) continue;
+    const int32_t* R = recs + base * 5;
+    base += static_cast<int64_t>(num_x) * num_y;
+
+    // each tree's flg planes (zero-initialized) serve as the "sent"
+    // flags the Python version keeps in separate TagTrees
+    ETagTree inc(num_x, num_y, 255), mmsb(num_x, num_y, 255);
+    for (int y = 0; y < num_y; ++y)
+      for (int x = 0; x < num_x; ++x) {
+        const int32_t* rec = R + (static_cast<int64_t>(y) * num_x + x) * 5;
+        inc.set_leaf(x, y, rec[0] ? 0 : 1);
+        mmsb.set_leaf(x, y, rec[0] ? rec[1] : 0);
+      }
+    inc.reduce_min();
+    mmsb.reduce_min();
+
+    const int nl = inc.t.num_levels;
+    if (inc.get(0, 0, nl - 1) != 0) {  // empty subband
+      if (started) bw.put_bit(0);
+      else ++num_skipped;
+      continue;
+    }
+    if (!started) {
+      started = true;
+      bw.put_bit(1);
+      bw.put_zeros(num_skipped);
+    }
+
+    for (int y = 0; y < num_y; ++y)
+      for (int x = 0; x < num_x; ++x) {
+        const int32_t* rec = R + (static_cast<int64_t>(y) * num_x + x) * 5;
+        // inclusion bits down the tag tree
+        for (int cl = nl; cl >= 1; --cl) {
+          const int lm1 = cl - 1;
+          int32_t& fl = inc.flag(x, y, lm1);
+          if (fl == 0) {
+            const int skipped = inc.get(x, y, lm1) - inc.get(x, y, cl);
+            bw.put_bit(1 - skipped);
+            fl = 1;
+          }
+          if (inc.get(x, y, lm1) > 0) break;
+        }
+        if (!rec[0] || rec[2] == 0) continue;
+
+        // missing msbs (unary over the tag tree)
+        for (int cl = nl; cl >= 1; --cl) {
+          const int lm1 = cl - 1;
+          int32_t& fl = mmsb.flag(x, y, lm1);
+          if (fl == 0) {
+            bw.put_zeros(mmsb.get(x, y, lm1) - mmsb.get(x, y, cl));
+            bw.put_bit(1);
+            fl = 1;
+          }
+        }
+
+        // number of passes (T.800 Table B.4)
+        const int np = rec[2];
+        if (np == 3) bw.put_bits(12, 4);
+        else if (np == 2) bw.put_bits(2, 2);
+        else if (np == 1) bw.put_bit(0);
+        else return -2;
+
+        // pass lengths: Lblock escape then lengths
+        const uint32_t l0 = static_cast<uint32_t>(rec[3]);
+        const uint32_t l1 = static_cast<uint32_t>(rec[4]);
+        const int bits1 = bit_length(l0);
+        const int extra = np > 2 ? 1 : 0;
+        const int bits2 = np > 1 ? bit_length(l1) : 0;
+        int bits = bits1 > bits2 - extra ? bits1 : bits2 - extra;
+        bits = bits - 3 > 0 ? bits - 3 : 0;
+        bw.put_bits(0xFFFFFFFEu & ((1u << (bits + 1)) - 1u), bits + 1);
+        bw.put_bits(l0, bits + 3);
+        if (np > 1) bw.put_bits(l1, bits + 3 + extra);
+      }
+  }
+
+  bw.terminate();
+  if (bw.ovf) return -1;
+  return bw.n;
 }
 
 }  // extern "C"
