@@ -105,12 +105,16 @@ def _bitrev(v, length, maxlen=5):
 # State: (reader, k); `run` is carried by the caller.
 # ---------------------------------------------------------------------------
 
-_MEL_E_J = jnp.asarray(MEL_E, jnp.int32)
+# numpy at module scope: materializing a device array at import time
+# would initialize the JAX backend as a side effect of
+# `import openjph_tpu` (breaking jax.distributed setup ordering)
+_MEL_E_NP = np.asarray(MEL_E, np.int32)
 
 
 def _mel_get_run(mask, mel_st, mel_k, run):
     """Masked MEL run decode; lanes where ~mask keep their state."""
-    eva = jnp.take(_MEL_E_J, jnp.clip(mel_k, 0, 12), mode='clip')
+    eva = jnp.take(jnp.asarray(_MEL_E_NP), jnp.clip(mel_k, 0, 12),
+                   mode='clip')
     b, st1 = _extract(mel_st, jnp.where(mask, 1, 0))
     one = mask & (b == 1)
     vrev, st2 = _extract(st1, jnp.where(mask & (b == 0), eva, 0))
