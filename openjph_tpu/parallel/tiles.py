@@ -85,10 +85,15 @@ class MosaicDecoder:
             wmax = [tuple(max(p.groups[i].words[j] for p in plans)
                           for j in range(3))
                     for i in range(len(plans[0].groups))]
+            rmax = [tuple(max(p.groups[i].rwords[j] for p in plans)
+                          for j in range(2))
+                    for i in range(len(plans[0].groups))]
             for p in plans:
                 for i, g in enumerate(p.groups):
                     g.words = wmax[i]
-                p.key = (tuple((g.gid, g.w, g.h, g.n_pad, g.words)
+                    g.rwords = rmax[i]
+                p.key = (tuple((g.gid, g.w, g.h, g.n_pad, g.words,
+                                g.rwords)
                                for g in p.groups),) + p.key[1:]
             cls['plan'] = plans[0]
 
@@ -124,13 +129,13 @@ class MosaicDecoder:
             with trace.stage('mosaic.host_prep'):
                 # tile i's lanes are frame-slot i; padding slots
                 # replicate tile 0 (dropped on assembly)
-                words, meta = _pack(
+                args = _pack(
                     [(self.dec, self.tile_plans[ti]) for ti in tiles]
                     + [(self.dec, self.tile_plans[tiles[0]])
                        ] * (F - T))
             runner = self._runner(plan.key, F)
             with trace.stage('mosaic.dispatch'):
-                errs, outs = runner(words, meta)
+                errs, outs = runner(*args)
             # single-tile plans have exactly one tile entry
             out.append((list(tiles), outs[0], errs))
         return out
@@ -149,6 +154,32 @@ class MosaicDecoder:
                 tile_planes[self.dec.tiles[ti].geom.idx] = \
                     [h[i] for h in host]
         return self.dec._assemble(tile_planes)
+
+    def decode_to(self, sink) -> None:
+        """Streaming decode: call ``sink(tile_idx, planes)`` for every
+        tile WITHOUT assembling the full image — the whole-mosaic
+        pixel array never exists on the host, so config-5-scale images
+        stay memory-bounded by one geometry class's batch.  ``planes``
+        are the tile's component planes cropped to the tile rect, in
+        the same sample layout Decoder.decode_tile returns."""
+        for cls in self.classes:
+            plan, tiles = cls['plan'], cls['tiles']
+            T = len(tiles)
+            F = max(_bucket(T, lo=8), self.ndev)
+            with trace.stage('mosaic.host_prep'):
+                args = _pack(
+                    [(self.dec, self.tile_plans[ti]) for ti in tiles]
+                    + [(self.dec, self.tile_plans[tiles[0]])
+                       ] * (F - T))
+            runner = self._runner(plan.key, F)
+            with trace.stage('mosaic.dispatch'):
+                errs, outs = runner(*args)
+            if np.asarray(errs).any():
+                raise ValueError('U_q exceeds missing_msbs + 2')
+            host = [np.asarray(c) for c in outs[0]]
+            for i, ti in enumerate(tiles):
+                sink(self.dec.tiles[ti].geom.idx,
+                     [h[i] for h in host])
 
 
 def decode_mosaic(data: bytes, mesh: Optional[Mesh] = None,
@@ -173,18 +204,47 @@ class MosaicEncoder:
         self._kwargs = enc_kwargs
 
     def encode(self, planes) -> bytes:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        from ..codec import build_encoder, normalize_planes
-        from ..core.geometry import build_tile, build_tile_grid
-        from ..tpu.encode_pipeline import (
-            TpuEncoder, _empty_coded, _narrow_tile_plane,
-            _PallasOverflow, _tile_packets)
-        from ..tpu.pipeline import _use_pallas
-        from .. import native
+        from ..codec import normalize_planes
+        from ..tpu.encode_pipeline import _narrow_tile_plane
 
         planes = normalize_planes(planes)
         nc = len(planes)
-        enc = build_encoder(planes[0].shape, nc,
+
+        def read_tile(ti, geoms, siz):
+            return [_narrow_tile_plane(siz, geoms[ti], c, planes[c])
+                    for c in range(nc)]
+
+        return self._encode_common(planes[0].shape, nc, read_tile,
+                                   fallback_planes=planes)
+
+    def encode_chunked(self, tile_reader, shape, num_comps: int = 1) \
+            -> bytes:
+        """Chunked-ingest encode for images too large to hold resident
+        (config 5): ``tile_reader(tile_idx, geom)`` returns the tile's
+        per-component planes (tile-local arrays of the tile comp rect
+        shape) — read from disk, generated, or fetched on demand.
+        Only one geometry class's tile batch is resident at a time."""
+        from ..tpu.encode_pipeline import _narrow_dtype_for
+
+        def read_tile(ti, geoms, siz):
+            tps = tile_reader(ti, geoms[ti])
+            return [np.ascontiguousarray(
+                np.asarray(tp).astype(_narrow_dtype_for(siz, c)))
+                for c, tp in enumerate(tps)]
+
+        return self._encode_common(shape, num_comps, read_tile,
+                                   fallback_planes=None)
+
+    def _encode_common(self, shape, nc, read_tile, fallback_planes):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..codec import build_encoder
+        from ..core.geometry import build_tile, build_tile_grid
+        from ..tpu.encode_pipeline import (
+            TpuEncoder, _empty_coded, _PallasOverflow, _tile_packets)
+        from ..tpu.pipeline import _use_pallas
+        from .. import native
+
+        enc = build_encoder(shape, nc,
                             encoder_cls=TpuEncoder, **self._kwargs)
         trs = build_tile_grid(enc.siz)
         geoms = [build_tile(enc.hdr, i, tr)
@@ -192,7 +252,10 @@ class MosaicEncoder:
         plans = ([enc._build_enc_plan(g) for g in geoms]
                  if native.have_native() else [None])
         if any(p is None for p in plans):
-            return enc.encode(planes)   # scalar-path stream; one host
+            if fallback_planes is None:
+                raise ValueError('stream not eligible for the fused '
+                                 'encode path; chunked ingest needs it')
+            return enc.encode(fallback_planes)  # scalar path; one host
         # geometry classes (encode plan keys are geometry-only)
         classes: List[dict] = []
         by_key: Dict[tuple, dict] = {}
@@ -210,13 +273,14 @@ class MosaicEncoder:
             T = len(tiles)
             F = max(_bucket(T, lo=8), self.ndev)
             with trace.stage('mosaic.enc_host_prep'):
+                per_tile = [read_tile(ti, geoms, enc.siz)
+                            for ti in tiles]
                 stacks = []
                 for c in range(nc):
-                    tps = [_narrow_tile_plane(enc.siz, geoms[ti], c,
-                                              planes[c])
-                           for ti in tiles]
+                    tps = [pt[c] for pt in per_tile]
                     tps += [tps[0]] * (F - T)
                     stacks.append(np.stack(tps))
+                del per_tile
             rk = (plan.key, F, self.mesh, self.axis)
             runner = _SHARD_RUNNERS.get(rk)
             if runner is None:
@@ -232,7 +296,9 @@ class MosaicEncoder:
                     try:
                         enc._consume_pallas_outs(plan, outs, codeds)
                     except _PallasOverflow:
-                        return enc.encode(planes)
+                        if fallback_planes is None:
+                            raise
+                        return enc.encode(fallback_planes)
                 else:
                     enc._consume_record_outs(plan, outs, codeds)
                 del outs

@@ -93,6 +93,8 @@ def fwd_atk_1d(x: jax.Array, even: bool, axis: int, kernel: AtkKernel):
     even^(j&1); analysis undoes steps Natk-1 .. 0, then scales storage
     (L *= 1/K, H *= K)."""
     n = x.shape[axis]
+    if n == 0:
+        return x, x  # empty line: both bands empty (reference skips)
     if n == 1:
         empty = _take(x, 0, 0, axis)
         if even:
@@ -126,6 +128,8 @@ def inv_atk_1d(L: jax.Array, H: jax.Array, even: bool, axis: int,
     """Inverse lifting along axis (gen_rev/irv_horz_syn); returns the
     interleaved signal."""
     n = L.shape[axis] + H.shape[axis]
+    if n == 0:
+        return L  # empty line (reference skips)
     if n == 1:
         if even:
             return L

@@ -510,6 +510,17 @@ def encode_tpu(planes, **kwargs) -> bytes:
         _codec.Encoder = old
 
 
+def _narrow_dtype_for(siz, c):
+    """Smallest upload dtype for component c's samples."""
+    bd = siz.comps[c].bit_depth
+    sgn = siz.comps[c].is_signed
+    if bd <= 8:
+        return np.int8 if sgn else np.uint8
+    if bd <= 16:
+        return np.int16 if sgn else np.uint16
+    return np.int32
+
+
 def _narrow_tile_plane(siz, geom, c, plane):
     """Slice component c's tile plane and narrow to the smallest
     upload dtype; the runner widens on device (the host link is the
@@ -519,15 +530,7 @@ def _narrow_tile_plane(siz, geom, c, plane):
     ox = comp.rect.x0 - (-(-siz.xosiz // dx))
     oy = comp.rect.y0 - (-(-siz.yosiz // dy))
     tp = plane[oy:oy + comp.rect.h, ox:ox + comp.rect.w]
-    bd = siz.comps[c].bit_depth
-    sgn = siz.comps[c].is_signed
-    if bd <= 8:
-        dt = np.int8 if sgn else np.uint8
-    elif bd <= 16:
-        dt = np.int16 if sgn else np.uint16
-    else:
-        dt = np.int32
-    return np.ascontiguousarray(tp.astype(dt))
+    return np.ascontiguousarray(tp.astype(_narrow_dtype_for(siz, c)))
 
 
 def _empty_coded(geom, nc):

@@ -69,3 +69,72 @@ def test_64bit_we_match_oracle_decode(tmp_path):
     # kmax short (its own round trip is lossy then); parity means we
     # reproduce its decode exactly
     assert np.array_equal(ours.astype(np.uint32), oracle)
+
+
+def _max_kmax(stream: bytes) -> int:
+    from openjph_tpu.codec import Decoder
+    dec = Decoder(stream)
+    km = 0
+    for st in dec.tiles:
+        for comp in st.geom.comps:
+            for res in comp.resolutions:
+                for b in range(4):
+                    sb = res.bands[b]
+                    if sb is not None and not sb.empty:
+                        km = max(km, sb.kmax)
+    return km
+
+
+@pytest.mark.parametrize('signed', [False, True])
+def test_kmax_gt32_rct_roundtrip(signed):
+    """Kmax > 32 (the encoder64 regime, ojph_block_encoder.cpp:1026):
+    32-bit + RCT + 5-level 5/3 reaches Kmax 35; the u_q extension and
+    64-bit sample path must round-trip bit-exact.  (The reference APPS
+    cannot express 3-component 32-bit output, so this is a library-
+    level contract; single-component >32 interop is oracle-tested
+    below.)"""
+    planes = [_ramp(32, signed) + s for s in range(3)]
+    if signed:
+        planes = [np.clip(p, -(1 << 31), (1 << 31) - 1) for p in planes]
+    else:
+        planes = [np.clip(p, 0, (1 << 32) - 1) for p in planes]
+    s = encode(planes, bit_depth=32, is_signed=signed, reversible=True,
+               num_decomps=5, color_transform=True)
+    assert _max_kmax(s) > 32
+    out = decode(s)
+    for c in range(3):
+        assert np.array_equal(out[c].astype(np.int64), planes[c])
+
+
+@requires_oracle
+def test_kmax_gt32_oracle_both_directions(tmp_path):
+    """Single-component 32-bit signed at 5 decomps reaches Kmax 34:
+    the oracle must decode our stream bit-exact, and we must decode
+    the oracle's own encode of the same samples bit-exact."""
+    img = _ramp(32, True)
+    s = encode([img], bit_depth=32, is_signed=True, reversible=True,
+               num_decomps=5)
+    assert _max_kmax(s) > 32
+    j2c = tmp_path / 'k34.j2c'
+    j2c.write_bytes(s)
+    out = tmp_path / 'k34.raw'
+    subprocess.run([os.path.join(ORACLE_BIN, 'ojph_expand'),
+                    '-i', str(j2c), '-o', str(out)],
+                   check=True, capture_output=True)
+    got = np.frombuffer(out.read_bytes(), dtype='<i4').reshape(64, 64)
+    assert np.array_equal(got.astype(np.int64), img)
+
+    raw = tmp_path / 'in.raw'
+    raw.write_bytes(img.astype('<i4').tobytes())
+    oj2c = tmp_path / 'o34.j2c'
+    subprocess.run([os.path.join(ORACLE_BIN, 'ojph_compress'),
+                    '-i', str(raw), '-o', str(oj2c),
+                    '-dims', '{64,64}', '-num_comps', '1',
+                    '-signed', 'true', '-bit_depth', '32',
+                    '-downsamp', '{1,1}', '-reversible', 'true',
+                    '-num_decomps', '5'],
+                   check=True, capture_output=True)
+    ostream = oj2c.read_bytes()
+    assert _max_kmax(ostream) > 32
+    mine = decode(ostream)[0]
+    assert np.array_equal(mine.astype(np.int64), img)

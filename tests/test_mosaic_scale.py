@@ -1,0 +1,109 @@
+"""Mosaic decode/encode at realistic scale (BASELINE config 5 shape).
+
+Two axes the toy-sized tests (test_mosaic.py) don't cover:
+ - an 8Kx8K image streamed tile-by-tile through the chunked-ingest
+   encoder and the streaming-sink decoder (the full-image pixel array
+   never exists on the host; memory is bounded by one geometry
+   class's tile batch), sharded over the virtual mesh;
+ - many tile geometry classes (codeblock grids anchor to the canvas,
+   so odd tile sizes give nearly one class per tile) decoded through
+   the single-plan fused path, bit-exact against the reference's own
+   encode of the same image.
+"""
+import os
+import subprocess
+import time
+
+import numpy as np
+import pytest
+
+from conftest import ORACLE_BIN, requires_oracle, run_oracle
+
+from openjph_tpu.parallel.mesh import make_mesh
+from openjph_tpu.parallel.tiles import MosaicDecoder, MosaicEncoder
+
+N8K = 8192
+TILE = 512
+
+
+def _tile_content(y0, x0, h, w):
+    """Deterministic per-tile pixels, generated on demand (the 8K
+    image is never materialized whole)."""
+    yy = (np.arange(y0, y0 + h, dtype=np.int64)[:, None])
+    xx = (np.arange(x0, x0 + w, dtype=np.int64)[None, :])
+    return ((yy * 31 + xx * 17 + ((yy * xx) >> 6)) % 256) \
+        .astype(np.int32)
+
+
+@pytest.mark.slow
+def test_mosaic_8k_chunked_sharded():
+    mesh = make_mesh()
+    me = MosaicEncoder(mesh, reversible=True, num_decomps=3,
+                       tile_size=(TILE, TILE))
+
+    def reader(ti, geom):
+        r = geom.comps[0].rect
+        return [_tile_content(r.y0, r.x0, r.h, r.w)]
+
+    t0 = time.perf_counter()
+    stream = me.encode_chunked(reader, (N8K, N8K), num_comps=1)
+    t_enc = time.perf_counter() - t0
+    assert len(stream) > 1 << 20
+
+    md = MosaicDecoder(stream, mesh)
+    ntiles = len(md.dec.tiles)
+    assert ntiles == (N8K // TILE) ** 2
+    seen = set()
+
+    def sink(ti, planes):
+        r = md.dec.tiles[ti].geom.comps[0].rect
+        assert np.array_equal(planes[0],
+                              _tile_content(r.y0, r.x0, r.h, r.w)), \
+            f'tile {ti} mismatch'
+        seen.add(ti)
+
+    t0 = time.perf_counter()
+    md.decode_to(sink)
+    t_shard = time.perf_counter() - t0
+    assert seen == set(range(ntiles))
+
+    # sequential (single-plan, unsharded) decode of the same stream
+    # for the tiles/s comparison; correctness is spot-checked
+    from openjph_tpu import decode_tpu
+    t0 = time.perf_counter()
+    out = decode_tpu(stream)
+    t_seq = time.perf_counter() - t0
+    assert np.array_equal(out[0][:TILE, :TILE],
+                          _tile_content(0, 0, TILE, TILE))
+    print(f'\n8K mosaic: encode(chunked) {t_enc:.1f}s; sharded '
+          f'{ntiles / t_shard:.1f} tiles/s; sequential '
+          f'{ntiles / t_seq:.1f} tiles/s')
+
+
+@requires_oracle
+@pytest.mark.slow
+def test_mosaic_many_geometry_classes(tmp_path, rng):
+    """>= 16 distinct tile geometry classes in one stream (odd tile
+    size + image offset), reference-encoded, decoded bit-exact by the
+    single-plan fused path; the plan must span every class."""
+    from openjph_tpu import decode_tpu
+    from openjph_tpu.tpu.pipeline import TpuDecoder, _build_plan
+    from openjph_tpu.utils.imageio import write_pnm
+    img = rng.randint(0, 256, (1021, 769)).astype(np.int32)
+    src = str(tmp_path / 's.pgm')
+    write_pnm(src, img.astype(np.uint8))
+    j2c = str(tmp_path / 's.j2c')
+    run_oracle('ojph_compress', '-i', src, '-o', j2c,
+               '-reversible', 'true', '-num_decomps', '2',
+               '-tile_size', '{255,253}', '-image_offset', '{1,2}')
+    stream = open(j2c, 'rb').read()
+    dec = TpuDecoder(stream)
+    keys = set()
+    for ti in range(len(dec.tiles)):
+        p = _build_plan(TpuDecoder(stream), (ti,))
+        assert p is not None
+        keys.add((tuple((g.gid, g.w, g.h, g.n_pad)
+                        for g in p.groups),) + p.key[1:])
+    assert len(keys) >= 16, f'only {len(keys)} geometry classes'
+    out = decode_tpu(stream)
+    assert np.array_equal(out[0], img)
