@@ -123,16 +123,22 @@ class TpuEncoder(Encoder):
                     bids.append(bid)
                     run = None  # (lane0, ncols, h_true, y0, x0)
                     for bi, g in enumerate(sb.blocks):
-                        # group by (w, h): the pallas encode kernel's
-                        # quad-row count and MEL/VLC fuse termination
-                        # are static per kernel, so a group must be
-                        # height-uniform (a max-height group would
-                        # encode phantom padding quad rows for its
-                        # shorter lanes)
-                        grp = groups.get((g.rect.w, g.rect.h))
+                        # scan path: group by width only — shorter
+                        # lanes pad with zero rows and the host packer
+                        # consumes only pairs_real steps per lane
+                        # (block_encode.py), so one trace covers every
+                        # height (odd tile grids produce dozens of
+                        # distinct heights; per-(w,h) tracing made
+                        # them pathologically slow to compile).
+                        # pallas path: keep (w, h) groups — its dense
+                        # in-kernel packing runs a static quad-row
+                        # count per kernel
+                        gk = (g.rect.w, g.rect.h) if _use_pallas() \
+                            else g.rect.w
+                        grp = groups.get(gk)
                         if grp is None:
                             grp = _EncGroup(len(groups), g.rect.w)
-                            groups[(g.rect.w, g.rect.h)] = grp
+                            groups[gk] = grp
                         lane = len(grp.lanes)
                         grp.lanes.append((bid, bi, g.rect.h))
                         grp.h = max(grp.h, g.rect.h)
