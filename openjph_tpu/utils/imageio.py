@@ -187,19 +187,96 @@ def write_pfm(path: str, img: np.ndarray, little_endian: bool = True):
 
 
 # ---------------------------------------------------------------------------
-# TIFF (baseline, uncompressed) — the reference gates its tif_in/tif_out
-# on libtiff (common/ojph_img_io.h:436-579, OJPH_ENABLE_TIFF_SUPPORT);
-# here a self-contained reader/writer for the same 8/16-bit gray/RGB
-# subset.
+# TIFF — the reference gates its tif_in/tif_out on libtiff
+# (common/ojph_img_io.h:436-579, OJPH_ENABLE_TIFF_SUPPORT); here a
+# self-contained reader/writer covering the practical libtiff surface
+# for 8/16-bit gray/RGB(A): strips and tiles, chunky and planar
+# sample layout, uncompressed / PackBits / LZW / Deflate, and the
+# horizontal-differencing predictor.
 # ---------------------------------------------------------------------------
 
 _TIFF_TYPES = {1: ('B', 1), 3: ('H', 2), 4: ('I', 4)}
 
 
-def read_tiff(path: str) -> np.ndarray:
-    """Read a baseline uncompressed TIFF (gray or RGB, 8/16-bit).
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-flavor LZW (MSB-first codes, ClearCode 256, EOI 257,
+    'early change' code-width bump)."""
+    out = bytearray()
+    table = []
+    code_len = 9
+    prev = None
+    acc = 0
+    nbits = 0
 
-    Returns [H, W] or [H, W, 3] (uint8/uint16)."""
+    def reset():
+        nonlocal table, code_len, prev
+        table = [bytes([i]) for i in range(256)] + [b'', b'']
+        code_len = 9
+        prev = None
+
+    reset()
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= code_len:
+            nbits -= code_len
+            code = (acc >> nbits) & ((1 << code_len) - 1)
+            if code == 256:
+                reset()
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            # early change: width bumps one code before the table fills
+            if len(table) + 1 >= (1 << code_len) and code_len < 12:
+                code_len += 1
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 128:
+            out += data[i:i + c + 1]
+            i += c + 1
+        elif c > 128:
+            if i < n:
+                out += bytes([data[i]]) * (257 - c)
+                i += 1
+    return bytes(out)
+
+
+def _tiff_decompress(raw: bytes, comp: int) -> bytes:
+    if comp == 1:
+        return raw
+    if comp in (8, 32946):  # Deflate (new/old tag)
+        import zlib
+        return zlib.decompress(raw)
+    if comp == 5:
+        return _lzw_decode(raw)
+    if comp == 32773:
+        return _packbits_decode(raw)
+    raise ValueError(f'unsupported TIFF compression {comp}')
+
+
+def read_tiff(path: str) -> np.ndarray:
+    """Read a TIFF image (gray/RGB(A), 8/16-bit; strips or tiles;
+    chunky or planar; none/PackBits/LZW/Deflate compression, with the
+    horizontal predictor).  Returns [H, W] or [H, W, spp]
+    (uint8/uint16)."""
     import struct
     data = open(path, 'rb').read()
     if data[:2] == b'II':
@@ -231,23 +308,78 @@ def read_tiff(path: str) -> np.ndarray:
     bps = tags.get(258, [1])
     spp = tags.get(277, [1])[0]
     comp = tags.get(259, [1])[0]
-    if comp != 1:
-        raise ValueError('only uncompressed TIFF is supported')
     planar = tags.get(284, [1])[0]
-    if planar != 1:
-        raise ValueError('only chunky TIFF is supported')
+    predictor = tags.get(317, [1])[0]
     bits = bps[0]
     if bits not in (8, 16):
         raise ValueError('only 8/16-bit TIFF is supported')
-    offs = tags[273]
-    cnts = tags[279]
-    buf = b''.join(data[o:o + c] for o, c in zip(offs, cnts))
-    dt = np.dtype(('u1' if bits == 8 else e + 'u2'))
-    arr = np.frombuffer(buf, dtype=dt, count=h * w * spp)
-    arr = arr.reshape(h, w, spp) if spp > 1 else arr.reshape(h, w)
-    if bits == 16:
-        arr = arr.astype('=u2')
-    return arr
+    if predictor not in (1, 2):
+        raise ValueError(f'unsupported TIFF predictor {predictor}')
+    dt = np.dtype('u1' if bits == 8 else e + 'u2')
+    nplanes = spp if planar == 2 else 1
+    csamp = 1 if planar == 2 else spp  # samples per pixel per chunk
+
+    def undiff(block):
+        """Horizontal-differencing predictor: rows are deltas."""
+        if predictor == 2:
+            np.cumsum(block, axis=1, dtype=block.dtype, out=block)
+        return block
+
+    if spp > 1:
+        out = np.empty((h, w, spp), dt.newbyteorder('='))
+    else:
+        out = np.empty((h, w), dt.newbyteorder('='))
+
+    if 322 in tags:  # tiled layout
+        tw = tags[322][0]
+        tl = tags[323][0]
+        offs = tags[324]
+        cnts = tags[325]
+        tx = -(-w // tw)
+        ty = -(-h // tl)
+        for pi in range(nplanes):
+            for i in range(ty):
+                for j in range(tx):
+                    k = pi * tx * ty + i * tx + j
+                    raw = _tiff_decompress(
+                        data[offs[k]:offs[k] + cnts[k]], comp)
+                    tile = np.frombuffer(raw, dt,
+                                         count=tl * tw * csamp) \
+                        .reshape(tl, tw, csamp).copy()
+                    tile = undiff(tile.reshape(tl, tw * csamp)) \
+                        .reshape(tl, tw, csamp)
+                    hh = min(tl, h - i * tl)
+                    ww = min(tw, w - j * tw)
+                    dst = out[i * tl:i * tl + hh, j * tw:j * tw + ww]
+                    src = tile[:hh, :ww]
+                    if planar == 2:
+                        dst[..., pi] = src[..., 0]
+                    elif spp > 1:
+                        dst[...] = src
+                    else:
+                        dst[...] = src[..., 0]
+    else:  # strips
+        offs = tags[273]
+        cnts = tags[279]
+        rps = tags.get(278, [h])[0]
+        strips_per_plane = -(-h // rps)
+        for pi in range(nplanes):
+            for si in range(strips_per_plane):
+                k = pi * strips_per_plane + si
+                raw = _tiff_decompress(
+                    data[offs[k]:offs[k] + cnts[k]], comp)
+                hh = min(rps, h - si * rps)
+                st = np.frombuffer(raw, dt, count=hh * w * csamp) \
+                    .reshape(hh, w * csamp).copy()
+                st = undiff(st).reshape(hh, w, csamp)
+                dst = out[si * rps:si * rps + hh]
+                if planar == 2:
+                    dst[..., pi] = st[..., 0]
+                elif spp > 1:
+                    dst[...] = st
+                else:
+                    dst[...] = st[..., 0]
+    return out
 
 
 def write_tiff(path: str, img: np.ndarray):
