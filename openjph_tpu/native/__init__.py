@@ -85,6 +85,11 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64]
+        lib.copy_ranges_ptrs.restype = None
+        lib.copy_ranges_ptrs.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64]
         lib.pack_from_dense.restype = None
         lib.pack_from_dense.argtypes = [
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
@@ -245,6 +250,25 @@ def build_seg_blob_ptrs(src_ptrs, lcups, lane_off, out: np.ndarray,
         src_ptrs.ctypes.data, lcups.ctypes.data, n,
         lane_off.ctypes.data, out.ctypes.data, ev.ctypes.data,
         nthreads)
+    return ev
+
+
+def copy_ranges_ptrs(src_ptrs, lens, lane_off, out: np.ndarray,
+                     nthreads: int = 0) -> np.ndarray:
+    """Copy lane byte ranges (absolute host pointers) into ``out`` at
+    lane_off; returns per-lane 0x7F-low counts (unstuff budget)."""
+    lib = _load()
+    assert lib is not None
+    src_ptrs = np.ascontiguousarray(src_ptrs, np.int64)
+    lens = np.ascontiguousarray(lens, np.int64)
+    lane_off = np.ascontiguousarray(lane_off, np.int64)
+    n = len(lane_off)
+    ev = np.zeros(n, np.int64)
+    if nthreads <= 0:
+        nthreads = min(8, os.cpu_count() or 1)
+    lib.copy_ranges_ptrs(src_ptrs.ctypes.data, lens.ctypes.data, n,
+                         lane_off.ctypes.data, out.ctypes.data,
+                         ev.ctypes.data, nthreads)
     return ev
 
 

@@ -359,6 +359,39 @@ void prep_cleanup_dense(const uint8_t* data, const int64_t* offsets,
 // budget, tpu/unstuff.py) — the count is free while the bytes are in
 // cache.  Lanes with lcup < 2 are skipped (dead lanes; the caller
 // writes their canonical dummy byte).
+// Plain range copies for the refinement segments of a device-unstuff
+// blob: lane i's lens[i] bytes from src_ptrs[i] land at
+// blob + lane_off[i]; ev_counts[i] returns the range's 0x7F-low byte
+// count (the on-device unstuffer's deleted-bit budget).
+void copy_ranges_ptrs(const int64_t* src_ptrs, const int64_t* lens,
+                      int64_t n, const int64_t* lane_off,
+                      uint8_t* blob, int64_t* ev_counts,
+                      int64_t nthreads) {
+  if (nthreads < 1 || n < 64) nthreads = 1;
+  auto work = [&](int64_t t, int64_t stride) {
+    for (int64_t i = t; i < n; i += stride) {
+      const int64_t len = lens[i];
+      int64_t ev = 0;
+      if (len > 0) {
+        const uint8_t* d = reinterpret_cast<const uint8_t*>(src_ptrs[i]);
+        uint8_t* o = blob + lane_off[i];
+        std::memcpy(o, d, static_cast<size_t>(len));
+        for (int64_t k = 0; k < len; ++k)
+          ev += (o[k] & 0x7F) == 0x7F;
+      }
+      ev_counts[i] = ev;
+    }
+  };
+  if (nthreads == 1) {
+    work(0, 1);
+    return;
+  }
+  std::vector<std::thread> ts;
+  for (int64_t t = 0; t < nthreads; ++t)
+    ts.emplace_back(work, t, nthreads);
+  for (auto& th : ts) th.join();
+}
+
 void build_seg_blob_ptrs(const int64_t* src_ptrs, const int64_t* lcups,
                          int64_t n, const int64_t* lane_off,
                          uint8_t* blob, int64_t* ev_counts,

@@ -579,7 +579,8 @@ def _make_runner(plan: _Plan, nframes: int = 1, shard=None,
     if use_pallas:
         from .block_decode_pallas import decode_cleanup_pallas
     if device_unstuff:
-        from .unstuff import unstuff_mel, unstuff_ms, unstuff_vlc
+        from .unstuff import (unstuff_mel, unstuff_mrp, unstuff_ms,
+                              unstuff_spp, unstuff_vlc)
     has_refine = any(g.rwords[0] > 0 for g in groups)
     if has_refine:
         from .block_refine import refine_core
@@ -596,8 +597,14 @@ def _make_runner(plan: _Plan, nframes: int = 1, shard=None,
         if device_unstuff:
             buf, = args
             words = buf
-            meta = jax.lax.bitcast_convert_type(
-                buf[buf.shape[0] - F * tl * 8:], jnp.int32)
+            tailn = F * tl * 8 * (2 if has_refine else 1)
+            tail = jax.lax.bitcast_convert_type(
+                buf[buf.shape[0] - tailn:], jnp.int32)
+            if has_refine:
+                meta = tail[:F * tl * 8]
+                rmeta = tail[F * tl * 8:].reshape(F, tl, 8)
+            else:
+                meta = tail
         elif has_refine:
             words, meta, rmeta = args
             rmeta = rmeta.reshape(F, tl, 8)
@@ -649,18 +656,25 @@ def _make_runner(plan: _Plan, nframes: int = 1, shard=None,
                 # SigProp/MagRef refinement in the same fused graph
                 # (tpu/block_refine.py)
                 rg = rmeta[:, s0:s0 + npad].reshape(F * npad, 8)
+                if device_unstuff:
+                    # raw refinement bytes at rg[:,0], length rg[:,1]:
+                    # derive both streams on-device
+                    spp = unstuff_spp(words, rg[:, 0], rg[:, 1],
+                                      rwordss[i][0])
+                    mrp = unstuff_mrp(words, rg[:, 0], rg[:, 1],
+                                      rwordss[i][1])
+                else:
+                    def runpack(oc, lc, W):
+                        off = rg[:, oc]
+                        ln = rg[:, lc]
+                        j = jnp.arange(W, dtype=jnp.int32)[None, :]
+                        valid = j < ln[:, None]
+                        idx = jnp.where(valid, off[:, None] + j, 0)
+                        wv = jnp.take(words, idx, mode='clip')
+                        return jnp.where(valid, wv, jnp.uint32(0))
 
-                def runpack(oc, lc, W):
-                    off = rg[:, oc]
-                    ln = rg[:, lc]
-                    j = jnp.arange(W, dtype=jnp.int32)[None, :]
-                    valid = j < ln[:, None]
-                    idx = jnp.where(valid, off[:, None] + j, 0)
-                    wv = jnp.take(words, idx, mode='clip')
-                    return jnp.where(valid, wv, jnp.uint32(0))
-
-                spp = runpack(0, 1, rwordss[i][0])
-                mrp = runpack(2, 3, rwordss[i][1])
+                    spp = runpack(0, 1, rwordss[i][0])
+                    mrp = runpack(2, 3, rwordss[i][1])
                 d = refine_core(d, spp, mrp, p, rg[:, 4], rg[:, 5],
                                 rg[:, 6] != 0, w, h)
             d = jnp.where(qhl[:, None, None] > 0, d, jnp.uint32(0))
@@ -706,7 +720,13 @@ def _make_runner(plan: _Plan, nframes: int = 1, shard=None,
                                                     nlt3)
                 # narrowest host dtype: the device->host link is the
                 # decode bottleneck (BASELINE.md), so ship 8/16-bit
-                # samples instead of int32 where the depth allows
+                # samples instead of int32 where the depth allows.
+                # NOTE the clip makes the fused path return samples in
+                # the nominal range (what the reference APPS write,
+                # ojph_img_io.cpp clamp) — truncated/lossy streams can
+                # reconstruct slightly out of range, where the host
+                # Decoder (like the reference LIBRARY's pull())
+                # returns the unclamped values
                 dt = _narrow_dtype(bd, sgn) if narrow_ok else jnp.int32
                 if dt != jnp.int32:
                     lo, hi = ((-(1 << (bd - 1)), (1 << (bd - 1)) - 1)
@@ -834,13 +854,19 @@ def _pack_device_records(pairs):
     """Record-mode blob pack: per-lane byte positions come straight
     from plan.lanes (no per-codeblock Python objects, no bytes
     copies — the native builder memcpys directly out of each frame's
-    stream buffer)."""
+    stream buffer).  Refine plans append each lane's refinement
+    segment d[lcup : lcup+len2] right after its cleanup bytes; the
+    accelerator derives the SigProp/MagRef streams from it
+    (unstuff_spp / unstuff_mrp)."""
     from .. import native
+    refine = pairs[0][1].has_refine
     lcall = np.concatenate([p.lanes[1] for _, p in pairs])
     scall = np.concatenate([p.lanes[2] for _, p in pairs])
     pall = np.concatenate([p.lanes[3] for _, p in pairs])
     qall = np.concatenate([p.lanes[4] for _, p in pairs])
-    sizes = lcall - 1
+    l2all = (np.concatenate([p.lanes[6] for _, p in pairs])
+             if refine else np.zeros_like(lcall))
+    sizes = lcall - 1 + l2all
     base = np.zeros_like(sizes)
     np.cumsum(sizes[:-1], out=base[1:])
     total = int(sizes.sum())
@@ -859,8 +885,19 @@ def _pack_device_records(pairs):
     if dead.any():
         # canonical dummy segment byte for dead/padding lanes
         blob[base[dead]] = 0x0F
+    rinfo = None
+    if refine:
+        l2_eff = np.where(ptrs != 0, l2all, 0)
+        ev2 = native.copy_ranges_ptrs(
+            np.where(l2_eff > 0, ptrs + lcall, 0), l2_eff,
+            base + lcall - 1, blob)
+        ev = np.maximum(ev, ev2)
+        npall = np.concatenate([p.lanes[5] for _, p in pairs])
+        hall = np.concatenate([p.lanes[7] for _, p in pairs])
+        call_ = np.concatenate([p.lanes[8] for _, p in pairs])
+        rinfo = (npall, l2all, hall, call_)
     return _finish_device_pack(blob, base, lcall, scall, pall, qall,
-                               ev)
+                               ev, rinfo)
 
 
 def _pack(pairs):
@@ -877,21 +914,22 @@ def _pack_auto(pairs):
     args): a single raw-bytes+meta buffer when unstuffing runs
     on-device (the smallest upload), (dense words, word meta)
     otherwise — including the rare fallback when a stream's stuffing
-    density would blow the unstuff kernel's K-candidate budget.
-    Plans with refinement passes take the host-unstuff path (the
-    on-device unstuffer covers the cleanup streams only)."""
-    if _device_unstuff() and not pairs[0][1].has_refine:
+    density would blow the unstuff kernel's K-candidate budget."""
+    if _device_unstuff():
         r = _pack_device(pairs)
         if r is not None:
             return True, r
     return False, _pack(pairs)
 
 
-def _finish_device_pack(blob, base, lcups, scups, p, qhl, per_lane):
+def _finish_device_pack(blob, base, lcups, scups, p, qhl, per_lane,
+                        rinfo=None):
     """Shared tail of the device packers: budget check, meta layout
     (lane_off, ms_n, sh_n, 0, 0, 0, p, qhl) and the single-buffer
     concat (meta rides the blob's tail — the tunnel pays a latency
-    roundtrip per transfer).  Returns None past the unstuff budget."""
+    roundtrip per transfer).  Refine plans append a second meta plane
+    (roff, len2, 0, 0, npasses, h_true, causal, 0).  Returns None
+    past the unstuff budget."""
     from . import unstuff
     if int(np.max(per_lane)) + 6 > unstuff.MAX_DELETED_BITS:
         return None
@@ -899,22 +937,33 @@ def _finish_device_pack(blob, base, lcups, scups, p, qhl, per_lane):
     meta = np.stack([base, lcups - scups, scups - 1, z, z, z,
                      p.astype(np.int64), qhl.astype(np.int64)],
                     axis=1).astype(np.int32)
-    buf = np.concatenate([blob.view(np.uint32),
-                          meta.reshape(-1).view(np.uint32)])
-    return (buf,)
+    parts = [blob.view(np.uint32), meta.reshape(-1).view(np.uint32)]
+    if rinfo is not None:
+        npall, l2all, hall, call_ = rinfo
+        rmeta = np.stack([base + lcups - 1, l2all, z, z,
+                          npall.astype(np.int64),
+                          hall.astype(np.int64),
+                          call_.astype(np.int64), z],
+                         axis=1).astype(np.int32)
+        parts.append(rmeta.reshape(-1).view(np.uint32))
+    return (np.concatenate(parts),)
 
 
 def _pack_device(pairs):
     """Raw-segment-bytes layout for on-device unstuffing: each
-    lane's blob range is d[0:lcup-1] (byte lcup-2 OR'd 0xF); the
-    accelerator derives all three bitstreams from it (MagSgn = first
-    lcup-scup bytes; MEL/VLC share the rest forward/backward).
-    Returns None when any lane's worst-case deleted-bit count
-    exceeds unstuff.MAX_DELETED_BITS (caller falls back)."""
+    lane's blob range is d[0:lcup-1] (byte lcup-2 OR'd 0xF) followed
+    by its refinement segment when present; the accelerator derives
+    all bitstreams from it (MagSgn = first lcup-scup bytes; MEL/VLC
+    share the rest forward/backward; SigProp/MagRef read the
+    refinement range forward/backward).  Returns None when any lane's
+    worst-case deleted-bit count exceeds unstuff.MAX_DELETED_BITS
+    (caller falls back)."""
     from .. import native
     if native.have_native() and \
             all(p.lanes is not None for _, p in pairs):
         return _pack_device_records(pairs)
+    if pairs[0][1].has_refine:
+        return None  # object-mode multipass: host-unstuff path
     datas: list = []
     lc, sc, pp, qq = [], [], [], []
     for dec, plan in pairs:

@@ -193,12 +193,14 @@ def _assemble(vals, delmask, nvalid_bits, W, fill_ones):
     return out
 
 
-def unstuff_ms(blob32, byte_off, nbytes, W):
+def unstuff_ms(blob32, byte_off, nbytes, W, fill_ones=True):
     """MagSgn: bytes LSB-first, 7 bits after a 0xFF byte (the
     dropped bit is the byte's bit 7), with the dropped bit OR'd into
     the NEXT byte's b0 (frwd_struct32 carry semantics — always 0
     for conformant encoders, but it keeps corrupt input identical
-    to the reference reader); ones fill."""
+    to the reference reader); ones fill.  ``fill_ones=False`` gives
+    the SigProp reader's zero-fill variant (same forward structure,
+    fill = 0)."""
     Wn = W
     wv = _lane_words_fwd(blob32, byte_off, Wn)
     k = jnp.arange(Wn, dtype=jnp.int32)[None, :]
@@ -226,7 +228,53 @@ def unstuff_ms(blob32, byte_off, nbytes, W):
         carry = jnp.where(valid & pstuff[m], (prev[m] >> 7) & 1,
                           jnp.zeros_like(prev[m]))
         vals = vals | (carry.astype(_U32) << (8 * m))
-    return _assemble(vals, delmask, nbytes * 8, W, True)
+    return _assemble(vals, delmask, nbytes * 8, W, fill_ones)
+
+
+def unstuff_spp(blob32, byte_off, nbytes, W):
+    """SigProp forward reader: MagSgn structure with zero fill
+    (frwd_struct32 with fill=0, ojph_block_decoder32.cpp:581-723)."""
+    return unstuff_ms(blob32, byte_off, nbytes, W, fill_ones=False)
+
+
+def unstuff_mrp(blob32, byte_off, nbytes, W):
+    """MagRef backward reader (rev_init_mrp,
+    ojph_block_decoder32.cpp:517-575): bytes of
+    [byte_off, byte_off+nbytes) read in REVERSE, LSB-first, bit 7
+    dropped when the previously-read byte was > 0x8F (the FIRST byte
+    read is treated as following one) and this byte's low 7 bits are
+    all ones; the dropped bit ORs into the next byte's b0; a bit
+    dropped from the LAST byte stays visible before the zero fill."""
+    Wn = W
+    wv = _lane_words_rev(blob32, byte_off, nbytes, Wn)
+    k = jnp.arange(Wn, dtype=jnp.int32)[None, :]
+    bts = _split_bytes(wv)
+    prev = (jnp.pad(bts[3], ((0, 0), (1, 0)))[:, :-1],
+            bts[0], bts[1], bts[2])
+    delmask = jnp.zeros(wv.shape, _U32)
+    vals = jnp.zeros(wv.shape, _U32)
+    dangs = []
+    for m in range(4):
+        bidx = k * 4 + m
+        valid = bidx < nbytes[:, None]
+        b = bts[m]
+        first = bidx == 0
+        last = bidx == (nbytes[:, None] - 1)
+        prev_uns = first | (prev[m] > 0x8F)
+        drop = valid & prev_uns & ((b & 0x7F) == 0x7F)
+        dangs.append(drop)
+        delmask = delmask | jnp.where(drop & ~last,
+                                      _u32(1) << (8 * m + 7), _u32(0))
+        vals = vals | (jnp.where(valid, b, 0) << (8 * m))
+    pdang = (jnp.pad(dangs[3], ((0, 0), (1, 0)))[:, :-1],
+             dangs[0], dangs[1], dangs[2])
+    for m in range(4):
+        bidx = k * 4 + m
+        valid = bidx < nbytes[:, None]
+        carry = jnp.where(valid & pdang[m], (prev[m] >> 7) & 1,
+                          jnp.zeros_like(prev[m]))
+        vals = vals | (carry.astype(_U32) << (8 * m))
+    return _assemble(vals, delmask, nbytes * 8, W, False)
 
 
 def unstuff_mel(blob32, byte_off, nbytes, W):

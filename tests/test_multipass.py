@@ -7,6 +7,7 @@ passes (encode(ht_passes=)), which makes ojph_expand usable as the
 ground-truth oracle for our SPP/MRP decode path — the only part of the
 Tier-1 decoder no reference-encoded stream can reach.
 """
+import os
 import subprocess
 
 import numpy as np
@@ -143,3 +144,38 @@ def test_causal_multipass_tpu_slow_path(tmp_path, rng):
         mine = decode_tpu(s)[0]
         np.testing.assert_array_equal(mine, oracle,
                                       err_msg=f'seed {seed}')
+
+
+def test_multipass_device_unstuff_fused(tmp_path, rng):
+    """2/3-pass streams through the fused path with ON-DEVICE
+    unstuffing of the refinement segment (raw coded bytes on the
+    wire): must match the host decoder within the fused path's
+    nominal-range clip (truncated streams can reconstruct slightly
+    out of range; the fused path clips like the reference apps)."""
+    import subprocess
+    import sys
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import numpy as np\n"
+        "from openjph_tpu import encode, decode\n"
+        "from openjph_tpu.tpu.pipeline import (TpuDecoder, _build_plan,"
+        " _pack_auto, decode_tpu)\n"
+        "rng = np.random.RandomState(7)\n"
+        "img = rng.randint(0, 256, (120, 150)).astype(np.int32)\n"
+        "img[rng.rand(120, 150) < 0.5] = 0\n"
+        "for passes, causal in [(2, False), (3, False), (2, True)]:\n"
+        "    s = encode(img, reversible=True, num_decomps=3,\n"
+        "               ht_passes=passes, vert_causal=causal)\n"
+        "    d = TpuDecoder(s)\n"
+        "    mode, _ = _pack_auto([(d, _build_plan(d))])\n"
+        "    assert mode, 'device-unstuff mode expected'\n"
+        "    a = decode_tpu(s)[0]\n"
+        "    b = np.clip(decode(s)[0], 0, 255)\n"
+        "    assert np.array_equal(a, b), (passes, causal)\n"
+        "print('OK')\n")
+    env = dict(os.environ)
+    env['OJTPU_DEVICE_UNSTUFF'] = '1'
+    env['JAX_PLATFORMS'] = 'cpu'
+    r = subprocess.run([sys.executable, '-c', code], env=env,
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0 and 'OK' in r.stdout, r.stdout + r.stderr

@@ -186,3 +186,41 @@ def test_carry_semantics_vs_scalar_readers(d):
             np.array([2]), min_words=(4, 4, 4))['ms'][0][:4]
         np.testing.assert_array_equal(got_nat, ref,
                                       err_msg='native ms')
+
+
+@pytest.mark.parametrize('seed', [0, 1])
+def test_unstuff_refine_matches_numpy_reference(seed):
+    """SigProp/MagRef on-device unstuffers vs prep_refine_streams_np
+    (the refinement segment d[lcup : lcup+len2])."""
+    from openjph_tpu.tpu.block_refine import prep_refine_streams_np
+    from openjph_tpu.tpu.unstuff import unstuff_mrp, unstuff_spp
+    rng = np.random.RandomState(100 + seed)
+    n = 64
+    lcups = rng.randint(4, 200, n)
+    len2s = rng.randint(0, 300, n)
+    # heavy-stuffing lanes: lots of 0xFF / 0x7F-low bytes
+    datas = []
+    for lc, l2 in zip(lcups, len2s):
+        d = rng.randint(0, 256, int(lc + l2)).astype(np.uint8)
+        hot = rng.rand(int(lc + l2)) < 0.3
+        d[hot] = rng.choice([0xFF, 0x7F, 0xFE, 0x90],
+                            size=int(hot.sum()))
+        datas.append(d)
+    ref = prep_refine_streams_np(datas, lcups, len2s)
+    ws, wm = ref['spp'].shape[1], ref['mrp'].shape[1]
+
+    # device layout: refine bytes only, one run per lane
+    base = np.zeros(n, np.int64)
+    np.cumsum(len2s[:-1], out=base[1:])
+    total = int(len2s.sum())
+    blob = np.zeros(-(-(total + 1) // 4) * 4, np.uint8)
+    for i, d in enumerate(datas):
+        o = int(base[i])
+        blob[o:o + len2s[i]] = d[lcups[i]:lcups[i] + len2s[i]]
+    jb = jnp.asarray(blob.view(np.uint32))
+    boff = jnp.asarray(base, jnp.int32)
+    nb = jnp.asarray(len2s, jnp.int32)
+    got_spp = np.asarray(unstuff_spp(jb, boff, nb, ws))
+    got_mrp = np.asarray(unstuff_mrp(jb, boff, nb, wm))
+    np.testing.assert_array_equal(got_spp, ref['spp'])
+    np.testing.assert_array_equal(got_mrp, ref['mrp'])
