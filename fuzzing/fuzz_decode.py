@@ -34,6 +34,15 @@ def make_seeds():
     seeds.append(encode(rgb, reversible=False, base_delta=1 / 256))
     seeds.append(encode([img], reversible=True, tile_size=(32, 32),
                         prog_order=0))
+    # multi-pass streams: SigProp/MagRef segments reach the fused
+    # refinement kernels (tpu/block_refine.py) and their on-device
+    # unstuffers
+    sp = img.copy()
+    sp[rng.rand(64, 80) < 0.5] = 0
+    seeds.append(encode([sp], reversible=True, num_decomps=2,
+                        ht_passes=3))
+    seeds.append(encode([sp], reversible=True, num_decomps=2,
+                        ht_passes=2, vert_causal=True))
     return seeds
 
 
