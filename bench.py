@@ -175,8 +175,7 @@ def _oracle_stage(stream_sets):
         p = os.path.join(tmp, f'f{k}.j2c')
         open(p, 'wb').write(s)
         paths.append(p)
-    ext = 'ppm' if np.asarray(stream_sets[0][0][:0]).size == 0 else 'ppm'
-    out = os.path.join(tmp, 'out.' + ('pgm'))
+    out = os.path.join(tmp, 'out.pgm')
     tsum = jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))
     touch = lambda a: tsum(a)  # noqa: E731
     int(touch(np.zeros((4 << 20,), np.uint8)))  # warm/compile

@@ -157,11 +157,14 @@ def prep_refine_streams(datas, lcups, len2s, min_words=None,
     n = len(datas)
     lcups = np.ascontiguousarray(lcups, dtype=np.int64)
     len2s = np.ascontiguousarray(len2s, dtype=np.int64)
+    # join only the refinement tails (the cleanup prefix is never
+    # read here); the C++ sees each lane at offset 0 of its range
     offsets = np.zeros(n + 1, dtype=np.int64)
-    for i, d in enumerate(datas):
-        offsets[i + 1] = offsets[i] + len(d)
-    blob = b''.join(bytes(d) for d in datas)
+    np.cumsum(len2s, out=offsets[1:])
+    blob = b''.join(bytes(d[lcups[i]:lcups[i] + len2s[i]])
+                    for i, d in enumerate(datas))
     data = np.frombuffer(blob, dtype=np.uint8)
+    zeros = np.zeros(n, dtype=np.int64)
     l2max = int(len2s.max()) if n else 0
     w = int((l2max * 8 + 1 + 31) // 32 + 2)
     ws, wm = w, w
@@ -173,7 +176,7 @@ def prep_refine_streams(datas, lcups, len2s, min_words=None,
     if nthreads <= 0:
         nthreads = min(8, os.cpu_count() or 1)
     lib.prep_refine_streams(
-        data.ctypes.data, offsets.ctypes.data, lcups.ctypes.data,
+        data.ctypes.data, offsets.ctypes.data, zeros.ctypes.data,
         len2s.ctypes.data, n, spp.ctypes.data, ws,
         mrp.ctypes.data, wm, nthreads)
     return {'spp': spp, 'mrp': mrp}

@@ -69,8 +69,9 @@ class MosaicDecoder:
             if plan is None:
                 raise ValueError(
                     'stream not eligible for the fused path '
-                    '(resilient / multi-pass / DFS tile); use '
-                    'TpuDecoder')
+                    '(resilient mode, DFS tiles, >30 bit planes, or '
+                    'multi-pass without the native Tier-2 record '
+                    'parser); use TpuDecoder')
             self.tile_plans[ti] = plan
             gk = (tuple((g.gid, g.w, g.h, g.n_pad)
                         for g in plan.groups),) + plan.key[1:]
@@ -88,10 +89,15 @@ class MosaicDecoder:
             rmax = [tuple(max(p.groups[i].rwords[j] for p in plans)
                           for j in range(2))
                     for i in range(len(plans[0].groups))]
+            refine = any(r[0] > 0 for r in rmax)
             for p in plans:
                 for i, g in enumerate(p.groups):
                     g.words = wmax[i]
                     g.rwords = rmax[i]
+                # a tile whose own blocks are all single-pass still
+                # needs refine-mode packing when ANY class member has
+                # refinement passes (the shared runner expects rmeta)
+                p.has_refine = refine
                 p.key = (tuple((g.gid, g.w, g.h, g.n_pad, g.words,
                                 g.rwords)
                                for g in p.groups),) + p.key[1:]
@@ -114,12 +120,9 @@ class MosaicDecoder:
                 return cls['plan']
         raise KeyError(key)
 
-    def decode_on_device(self):
-        """One sharded dispatch per geometry class.  Returns a list
-        of ``(tile_indices, comps)``; tile t of the class lives at
-        ``comps[c][i]`` where ``i = tile_indices.index(t)`` (entries
-        beyond ``len(tile_indices)`` are padding replicas)."""
-        out = []
+    def _run_classes(self):
+        """Yield (tile_indices, comps, errs) per geometry class (one
+        sharded dispatch each)."""
         for cls in self.classes:
             plan, tiles = cls['plan'], cls['tiles']
             T = len(tiles)
@@ -137,8 +140,14 @@ class MosaicDecoder:
             with trace.stage('mosaic.dispatch'):
                 errs, outs = runner(*args)
             # single-tile plans have exactly one tile entry
-            out.append((list(tiles), outs[0], errs))
-        return out
+            yield list(tiles), outs[0], errs
+
+    def decode_on_device(self):
+        """One sharded dispatch per geometry class.  Returns a list
+        of ``(tile_indices, comps)``; tile t of the class lives at
+        ``comps[c][i]`` where ``i = tile_indices.index(t)`` (entries
+        beyond ``len(tile_indices)`` are padding replicas)."""
+        return list(self._run_classes())
 
     def decode(self) -> List[np.ndarray]:
         """Host-assembled full-image planes (bit-exact vs Decoder)."""
@@ -162,21 +171,10 @@ class MosaicDecoder:
         stay memory-bounded by one geometry class's batch.  ``planes``
         are the tile's component planes cropped to the tile rect, in
         the same sample layout Decoder.decode_tile returns."""
-        for cls in self.classes:
-            plan, tiles = cls['plan'], cls['tiles']
-            T = len(tiles)
-            F = max(_bucket(T, lo=8), self.ndev)
-            with trace.stage('mosaic.host_prep'):
-                args = _pack(
-                    [(self.dec, self.tile_plans[ti]) for ti in tiles]
-                    + [(self.dec, self.tile_plans[tiles[0]])
-                       ] * (F - T))
-            runner = self._runner(plan.key, F)
-            with trace.stage('mosaic.dispatch'):
-                errs, outs = runner(*args)
+        for tiles, comps, errs in self._run_classes():
             if np.asarray(errs).any():
                 raise ValueError('U_q exceeds missing_msbs + 2')
-            host = [np.asarray(c) for c in outs[0]]
+            host = [np.asarray(c) for c in comps]
             for i, ti in enumerate(tiles):
                 sink(self.dec.tiles[ti].geom.idx,
                      [h[i] for h in host])

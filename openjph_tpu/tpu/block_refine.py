@@ -51,8 +51,8 @@ _SPREAD_POS = tuple(_SPREAD[pos & 3] << (pos & ~3) for pos in range(16))
 _AR16 = np.arange(16, dtype=np.uint32)
 _MASKS16 = ((np.uint32(1) << _AR16) - np.uint32(1))
 _AR32 = np.arange(32, dtype=np.uint32)
-_MASKS32 = np.where(_AR32 < 32, (np.uint64(1) << _AR32.astype(np.uint64))
-                    - 1, 0).astype(np.uint32)
+_MASKS32 = ((np.uint64(1) << _AR32.astype(np.uint64)) - 1) \
+    .astype(np.uint32)
 
 
 def sig_pack(dec, n_sy: int, n_gx: int, h_lim):

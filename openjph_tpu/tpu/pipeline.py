@@ -904,7 +904,8 @@ def _pack(pairs):
     """Pack a burst of (decoder, plan) pairs into (dense words, word
     meta[, refine meta]) for the host-unstuff runner."""
     from .. import native
-    if native.have_native() and not pairs[0][1].has_refine:
+    if native.have_native() and \
+            not any(p.has_refine for _, p in pairs):
         return _pack_burst_fast(pairs)
     return _pack_burst([d._group_arrays(p) for d, p in pairs])
 

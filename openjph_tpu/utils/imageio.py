@@ -320,7 +320,9 @@ def read_tiff(path: str) -> np.ndarray:
     csamp = 1 if planar == 2 else spp  # samples per pixel per chunk
 
     def undiff(block):
-        """Horizontal-differencing predictor: rows are deltas."""
+        """Horizontal-differencing predictor: each sample is a delta
+        against the SAME channel of the previous pixel, so the cumsum
+        runs over the pixel axis of the (rows, w, csamp) view."""
         if predictor == 2:
             np.cumsum(block, axis=1, dtype=block.dtype, out=block)
         return block
@@ -343,11 +345,9 @@ def read_tiff(path: str) -> np.ndarray:
                     k = pi * tx * ty + i * tx + j
                     raw = _tiff_decompress(
                         data[offs[k]:offs[k] + cnts[k]], comp)
-                    tile = np.frombuffer(raw, dt,
-                                         count=tl * tw * csamp) \
-                        .reshape(tl, tw, csamp).copy()
-                    tile = undiff(tile.reshape(tl, tw * csamp)) \
-                        .reshape(tl, tw, csamp)
+                    tile = undiff(np.frombuffer(raw, dt,
+                                                count=tl * tw * csamp)
+                                  .reshape(tl, tw, csamp).copy())
                     hh = min(tl, h - i * tl)
                     ww = min(tw, w - j * tw)
                     dst = out[i * tl:i * tl + hh, j * tw:j * tw + ww]
@@ -369,9 +369,8 @@ def read_tiff(path: str) -> np.ndarray:
                 raw = _tiff_decompress(
                     data[offs[k]:offs[k] + cnts[k]], comp)
                 hh = min(rps, h - si * rps)
-                st = np.frombuffer(raw, dt, count=hh * w * csamp) \
-                    .reshape(hh, w * csamp).copy()
-                st = undiff(st).reshape(hh, w, csamp)
+                st = undiff(np.frombuffer(raw, dt, count=hh * w * csamp)
+                            .reshape(hh, w, csamp).copy())
                 dst = out[si * rps:si * rps + hh]
                 if planar == 2:
                     dst[..., pi] = st[..., 0]

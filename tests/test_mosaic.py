@@ -87,3 +87,19 @@ def test_mosaic_encode_rim_rgb(rng):
                         num_decomps=2, tile_size=(128, 128),
                         color_transform=True)
     assert got == ref
+
+
+def test_mosaic_multipass_mixed_flat_tile(rng):
+    """Multipass mosaic where one tile of a geometry class is flat
+    (all-zero blocks, no refinement segments): the class-shared
+    runner must still get refine-mode packing for every member."""
+    from openjph_tpu import encode
+    from openjph_tpu.parallel.mesh import make_mesh
+    from openjph_tpu.parallel.tiles import decode_mosaic
+    img = rng.randint(0, 256, (128, 128)).astype(np.int32)
+    img[rng.rand(128, 128) < 0.5] = 0
+    img[:64, :64] = 128          # flat tile: zero after the DC offset
+    s = encode(img, reversible=True, num_decomps=2,
+               tile_size=(64, 64), ht_passes=3)
+    out = decode_mosaic(s, make_mesh())
+    assert np.array_equal(np.clip(out[0], 0, 255), np.clip(img, 0, 255))

@@ -150,3 +150,23 @@ def test_tiff_tiled_and_planar(tmp_path, rng):
     p = tmp_path / 'planar.tif'
     p.write_bytes(stream)
     assert np.array_equal(read_tiff(str(p)), rgb)
+
+
+def test_tiff_predictor_rgb(tmp_path, rng):
+    """Horizontal predictor (tag 317=2) differences each sample
+    against the SAME channel of the previous pixel; chunky RGB must
+    not mix channels."""
+    Image = _pil()
+    img = rng.randint(0, 256, (21, 19, 3)).astype(np.uint8)
+    pim = Image.fromarray(img, mode='RGB')
+    for comp in ('tiff_lzw', 'tiff_deflate'):
+        p = tmp_path / f'pred_{comp}.tif'
+        pim.save(str(p), format='TIFF', compression=comp,
+                 tiffinfo={317: 2})
+        assert np.array_equal(read_tiff(str(p)), img), comp
+    gray = rng.randint(0, 65536, (11, 13)).astype(np.uint16)
+    pim = Image.fromarray(gray, mode='I;16')
+    p = tmp_path / 'pred16.tif'
+    pim.save(str(p), format='TIFF', compression='tiff_deflate',
+             tiffinfo={317: 2})
+    assert np.array_equal(read_tiff(str(p)), gray)
