@@ -579,8 +579,10 @@ def _make_runner(plan: _Plan, nframes: int = 1, shard=None,
     if use_pallas:
         from .block_decode_pallas import decode_cleanup_pallas
     if device_unstuff:
-        from .unstuff import (unstuff_mel, unstuff_mrp, unstuff_ms,
-                              unstuff_spp, unstuff_vlc)
+        from .unstuff import (_K, unstuff_mel, unstuff_mrp,
+                              unstuff_ms, unstuff_spp, unstuff_vlc)
+        # device_unstuff carries the packer's K bucket (True = ceiling)
+        uk = _K if device_unstuff is True else int(device_unstuff)
     has_refine = any(g.rwords[0] > 0 for g in groups)
     if has_refine:
         from .block_refine import refine_core
@@ -630,17 +632,22 @@ def _make_runner(plan: _Plan, nframes: int = 1, shard=None,
                 lane_off = mg[:, 0]
                 ms_n = mg[:, 1]
                 sh_n = mg[:, 2]
-                ms = unstuff_ms(words, lane_off, ms_n, ws_)
-                mel = unstuff_mel(words, lane_off + ms_n, sh_n, wm)
-                vlc = unstuff_vlc(words, lane_off + ms_n, sh_n, wv_)
+                ms = unstuff_ms(words, lane_off, ms_n, ws_, kc=uk)
+                mel = unstuff_mel(words, lane_off + ms_n, sh_n, wm,
+                                  kc=uk)
+                vlc = unstuff_vlc(words, lane_off + ms_n, sh_n, wv_,
+                                  kc=uk)
             else:
                 def unpack(oc, lc, W, guard):
                     off = mg[:, oc]
                     ln = mg[:, lc]
                     j = jnp.arange(W, dtype=jnp.int32)[None, :]
                     valid = j < ln[:, None]
-                    idx = jnp.where(valid, off[:, None] + j, 0)
-                    wv = jnp.take(words, idx, mode='clip')
+                    # one contiguous slice per lane (the packer's tail
+                    # margin keeps the clipped start from shifting
+                    # real payload) — ~3x faster than element gathers
+                    from .unstuff import _window
+                    wv = _window(words, off, W)
                     return jnp.where(valid, wv, jnp.uint32(guard))
 
                 mel = unpack(0, 1, wm, 0xFFFFFFFF)
@@ -660,17 +667,16 @@ def _make_runner(plan: _Plan, nframes: int = 1, shard=None,
                     # raw refinement bytes at rg[:,0], length rg[:,1]:
                     # derive both streams on-device
                     spp = unstuff_spp(words, rg[:, 0], rg[:, 1],
-                                      rwordss[i][0])
+                                      rwordss[i][0], kc=uk)
                     mrp = unstuff_mrp(words, rg[:, 0], rg[:, 1],
-                                      rwordss[i][1])
+                                      rwordss[i][1], kc=uk)
                 else:
                     def runpack(oc, lc, W):
-                        off = rg[:, oc]
+                        from .unstuff import _window
                         ln = rg[:, lc]
-                        j = jnp.arange(W, dtype=jnp.int32)[None, :]
-                        valid = j < ln[:, None]
-                        idx = jnp.where(valid, off[:, None] + j, 0)
-                        wv = jnp.take(words, idx, mode='clip')
+                        valid = jnp.arange(W, dtype=jnp.int32)[None, :] \
+                            < ln[:, None]
+                        wv = _window(words, rg[:, oc], W)
                         return jnp.where(valid, wv, jnp.uint32(0))
 
                     spp = runpack(0, 1, rwordss[i][0])
@@ -773,6 +779,7 @@ def _pack_burst(frames_groups: List[List[dict]]):
     metas = []
     rmetas = []
     any_refine = any('spp' in gd for fg in frames_groups for gd in fg)
+    maxw = 8  # widest stream window: the buffer's tail margin
     cursor = 0
     for fg in frames_groups:
         for gd in fg:
@@ -783,6 +790,7 @@ def _pack_burst(frames_groups: List[List[dict]]):
             for k, lk in keys:
                 arr, ln = gd[k], gd[lk]
                 w = arr.shape[1]
+                maxw = max(maxw, w)
                 mask = np.arange(w, dtype=np.int32)[None, :] < ln[:, None]
                 chunks.append(arr[mask])
                 offs = cursor + np.concatenate(
@@ -800,7 +808,9 @@ def _pack_burst(frames_groups: List[List[dict]]):
                 else:
                     rmetas.append(np.zeros((n, 8), np.int32))
     words = np.concatenate(chunks)
-    dpad = _bucket_words(words.size)
+    # tail margin: the runner's window fetch is a clipped contiguous
+    # slice per lane (unstuff._window contract)
+    dpad = _bucket_words(words.size + maxw + 2)
     words = np.pad(words, (0, dpad - words.size))
     meta = np.ascontiguousarray(np.concatenate(metas, axis=0),
                                 np.int32)
@@ -845,9 +855,23 @@ def _pack_burst_fast(pairs):
     blob = b''.join(datas)
     offsets = np.zeros(len(datas) + 1, np.int64)
     np.cumsum([len(d) for d in datas], out=offsets[1:])
-    dense = np.empty(_bucket_words(int(tot.sum())), np.uint32)
+    # tail margin per the runner's clipped-slice window fetch
+    dense = np.zeros(_bucket_words(int(tot.sum())
+                                   + int(caps.max()) + 2), np.uint32)
     native.prep_cleanup_dense(blob, offsets, lcups, scups, meta, dense)
     return dense, meta.reshape(-1)
+
+
+def _blob_margin(pairs) -> int:
+    """Lead/tail margin (bytes) for device-unstuff blobs: the unstuff
+    window fetch is a contiguous slice per lane whose start clips to
+    the buffer, so margins of (max stream words + 2) guarantee a
+    clipped window never shifts real payload (tpu/unstuff.py)."""
+    mw = 8
+    for _, p in pairs:
+        for g in p.groups:
+            mw = max(mw, *g.words, *g.rwords)
+    return 4 * (mw + 2)
 
 
 def _pack_device_records(pairs):
@@ -866,10 +890,13 @@ def _pack_device_records(pairs):
     qall = np.concatenate([p.lanes[4] for _, p in pairs])
     l2all = (np.concatenate([p.lanes[6] for _, p in pairs])
              if refine else np.zeros_like(lcall))
+    lead = _blob_margin(pairs)
     sizes = lcall - 1 + l2all
     base = np.zeros_like(sizes)
+    base[0] = lead
     np.cumsum(sizes[:-1], out=base[1:])
-    total = int(sizes.sum())
+    base[1:] += lead
+    total = int(sizes.sum()) + 2 * lead
     padded = 4 * _bucket_words(max((total + 3) // 4 + 1, 2))
     blob = np.zeros(padded, np.uint8)
     ptr_l = []
@@ -911,16 +938,19 @@ def _pack(pairs):
 
 
 def _pack_auto(pairs):
-    """Pack for the preferred runner mode.  Returns (device_unstuff,
-    args): a single raw-bytes+meta buffer when unstuffing runs
-    on-device (the smallest upload), (dense words, word meta)
-    otherwise — including the rare fallback when a stream's stuffing
-    density would blow the unstuff kernel's K-candidate budget."""
+    """Pack for the preferred runner mode.  Returns (mode, args):
+    mode is the unstuff K bucket (a small int; truthy) when byte
+    unstuffing runs on-device with a single raw-bytes+meta buffer
+    (the smallest upload), or 0 for the host-unstuff path with
+    (dense words, word meta) — including the rare fallback when a
+    stream's stuffing density would blow the unstuff kernel's
+    K-candidate ceiling."""
     if _device_unstuff():
         r = _pack_device(pairs)
         if r is not None:
-            return True, r
-    return False, _pack(pairs)
+            args, uk = r
+            return uk, args
+    return 0, _pack(pairs)
 
 
 def _finish_device_pack(blob, base, lcups, scups, p, qhl, per_lane,
@@ -929,11 +959,15 @@ def _finish_device_pack(blob, base, lcups, scups, p, qhl, per_lane,
     (lane_off, ms_n, sh_n, 0, 0, 0, p, qhl) and the single-buffer
     concat (meta rides the blob's tail — the tunnel pays a latency
     roundtrip per transfer).  Refine plans append a second meta plane
-    (roff, len2, 0, 0, npasses, h_true, causal, 0).  Returns None
-    past the unstuff budget."""
+    (roff, len2, 0, 0, npasses, h_true, causal, 0).  Returns
+    ((buf,), K) with K the unstuff kernel's candidate budget sized to
+    the burst's worst-case deleted-bit count (the reassembly cost
+    scales with K), or None past the ceiling."""
     from . import unstuff
-    if int(np.max(per_lane)) + 6 > unstuff.MAX_DELETED_BITS:
+    maxdel = int(np.max(per_lane)) + 6
+    if maxdel > unstuff.MAX_DELETED_BITS:
         return None
+    uk = unstuff.k_for_deleted_bits(maxdel)
     z = np.zeros_like(base)
     meta = np.stack([base, lcups - scups, scups - 1, z, z, z,
                      p.astype(np.int64), qhl.astype(np.int64)],
@@ -947,7 +981,7 @@ def _finish_device_pack(blob, base, lcups, scups, p, qhl, per_lane,
                           call_.astype(np.int64), z],
                          axis=1).astype(np.int32)
         parts.append(rmeta.reshape(-1).view(np.uint32))
-    return (np.concatenate(parts),)
+    return (np.concatenate(parts),), uk
 
 
 def _pack_device(pairs):
@@ -978,10 +1012,13 @@ def _pack_device(pairs):
     scups = np.concatenate(sc)
     p = np.concatenate(pp)
     qhl = np.concatenate(qq)
+    lead = _blob_margin(pairs)
     sizes = lcups - 1
     base = np.zeros_like(sizes)
+    base[0] = lead
     np.cumsum(sizes[:-1], out=base[1:])
-    total = int(sizes.sum())
+    base[1:] += lead
+    total = int(sizes.sum()) + 2 * lead
     padded = 4 * _bucket_words(max((total + 3) // 4 + 1, 2))
     offsets = np.zeros(len(datas) + 1, np.int64)
     np.cumsum([len(d) for d in datas], out=offsets[1:])

@@ -34,6 +34,14 @@ K-candidate budget (32*(K-2) deleted bits per stream; only crafted
 input gets close) must take the host-unstuff path — the packer
 checks this (pipeline._pack_device).
 
+Blob layout contract: the window fetch is a contiguous W-word SLICE
+per lane (one gather index per lane — ~3x faster than an element
+gather on TPU), whose start clips to stay in bounds.  The blob must
+therefore carry a LEAD and TAIL margin of at least (max stream words
++ 2) zero words so a clipped window can never shift real payload
+(pipeline packers add it; reads into the margins only reach masked /
+fill positions).
+
 Bit-exact against bitprep.prep_cleanup_streams_np
 (tests/test_unstuff.py).
 """
@@ -47,9 +55,23 @@ _U32 = jnp.uint32
 
 # K-candidate budget of the reassembly select: an output word's first
 # source word is at most K-2 words ahead (<= 32*(K-2) deleted bits per
-# stream); +2 for the second/third tap.
+# stream); +2 for the second/third tap.  The packer measures each
+# burst's worst-case deleted-bit count and picks the smallest K bucket
+# that covers it (stuffing is rare, so K=3 covers typical video and
+# the reassembly cost scales with K); _K is the ceiling.
 _K = 8
+K_BUCKETS = (3, 4, 6, 8)
 MAX_DELETED_BITS = 32 * (_K - 2)
+
+
+def k_for_deleted_bits(maxdel: int) -> int:
+    """Smallest K bucket covering ``maxdel`` deleted bits per stream
+    (callers add their slack before calling)."""
+    need = -(-maxdel // 32) + 2
+    for k in K_BUCKETS:
+        if k >= need:
+            return k
+    return _K
 
 
 def _u32(x):
@@ -75,14 +97,30 @@ def _shr(v, n):
     return jnp.where(n >= 32, _u32(0), v >> n32)
 
 
+def _window(blob32, start_words, n: int):
+    """[L, n] contiguous word windows blob32[s : s+n] per lane — ONE
+    slice per index (lax.gather with slice_sizes), ~3x faster on TPU
+    than an element gather of the same values.  Starts clip to keep
+    the slice in bounds, so callers must guarantee (via the packer's
+    blob margins) that a window never needs to cross the buffer edge
+    while it still covers real payload."""
+    s = jnp.clip(start_words.astype(jnp.int32), 0,
+                 blob32.shape[0] - n)
+    dn = lax.GatherDimensionNumbers(offset_dims=(1,),
+                                    collapsed_slice_dims=(),
+                                    start_index_map=(0,))
+    return lax.gather(blob32, s[:, None], dn, slice_sizes=(n,),
+                      mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+
 def _lane_words_fwd(blob32, byte_off, nwords):
     """[L, nwords] uint32 little-endian views of each lane's bytes
     starting at byte_off (any alignment).  blob32 is the uint8 blob
-    bitcast to uint32 (little-endian)."""
+    bitcast to uint32 (little-endian).  Requires the blob's tail
+    margin (see module docstring)."""
     w0 = (byte_off >> 2).astype(jnp.int32)
     ph = ((byte_off & 3) * 8).astype(_U32)[:, None]
-    j = jnp.arange(nwords + 1, dtype=jnp.int32)[None, :]
-    w = jnp.take(blob32, w0[:, None] + j, mode='clip')
+    w = _window(blob32, w0, nwords + 1)
     lo = w[:, :-1] >> ph
     hi = jnp.where(ph > 0, w[:, 1:] << (_u32(32) - ph), _u32(0))
     return lo | hi
@@ -91,17 +129,18 @@ def _lane_words_fwd(blob32, byte_off, nwords):
 def _lane_words_rev(blob32, byte_off, nbytes, nwords):
     """[L, nwords] uint32 whose byte k is the lane's byte
     (nbytes-1-k) — the reversed (emission-order) VLC view of the
-    shared range [byte_off, byte_off+nbytes)."""
+    shared range [byte_off, byte_off+nbytes).  Requires the blob's
+    lead margin (see module docstring)."""
     # word j covers reversed bytes 4j..4j+3 = forward addresses
     # byte_off+nbytes-4-4j .. byte_off+nbytes-1-4j; its LE32 at
-    # a = byte_off+nbytes-4-4j, byte-swapped.
+    # a = byte_off+nbytes-4-4j, byte-swapped.  Fetch the whole
+    # contiguous span [w0-nwords, w0+1] once and flip statically.
     a0 = byte_off + nbytes - 4
     w0 = (a0 >> 2).astype(jnp.int32)         # a0 may go negative
     ph = ((a0 & 3) * 8).astype(_U32)[:, None]
-    j = jnp.arange(nwords, dtype=jnp.int32)[None, :]
-    idx = w0[:, None] - j
-    wlo = jnp.take(blob32, jnp.clip(idx, 0, None), mode='clip')
-    whi = jnp.take(blob32, jnp.clip(idx + 1, 0, None), mode='clip')
+    win = _window(blob32, w0 - nwords, nwords + 2)
+    wlo = win[:, nwords:0:-1]
+    whi = win[:, nwords + 1:1:-1]
     le = (wlo >> ph) | jnp.where(ph > 0, whi << (_u32(32) - ph),
                                  _u32(0))
     # byte swap
@@ -116,12 +155,14 @@ def _split_bytes(wv):
             (wv >> 24) & 0xFF)
 
 
-def _delete_marked(w, d):
-    """Remove up to 8 marked bits from each 32-bit word, compacting
-    the remaining bits toward the LSB (delete-lowest-bit loop).
-    8 covers the worst case: the VLC nibble byte deletes 5 bits and
-    each of the word's other 3 bytes can delete 1."""
-    for _ in range(8):
+def _delete_marked(w, d, iters: int = 8):
+    """Remove up to ``iters`` marked bits from each 32-bit word,
+    compacting the remaining bits toward the LSB (delete-lowest-bit
+    loop).  8 covers the VLC worst case (the nibble byte deletes 5
+    bits and each of the word's other 3 bytes can delete 1); the
+    byte-stuffed forward/MRP streams delete at most 1 bit per byte,
+    so 4 suffices there."""
+    for _ in range(iters):
         b = d & (~d + _u32(1))              # lowest marked bit
         mlow = b - _u32(1)                  # bits below it
         w2 = (w & mlow) | ((w >> 1) & ~mlow)
@@ -132,16 +173,19 @@ def _delete_marked(w, d):
     return w
 
 
-def _assemble(vals, delmask, nvalid_bits, W, fill_ones):
+def _assemble(vals, delmask, nvalid_bits, W, fill_ones, k_max: int = _K,
+              del_iters: int = 8):
     """vals: [L, Wn] as-if-8-bit packed words; delmask: deleted bit
     positions per word; nvalid_bits: [L] total pre-deletion bits.
     Returns [L, W] compacted output words, filled with ones/zeros
-    past each lane's end."""
+    past each lane's end.  ``k_max`` bounds the candidate window
+    (<= 32*(k_max-2) deleted bits per stream — the packer guarantees
+    it)."""
     L, Wn = vals.shape
     j32 = jnp.arange(Wn, dtype=jnp.int32)[None, :] * 32
     valid_bits = jnp.clip(nvalid_bits[:, None] - j32, 0, 32)
     # deletions can only be marked on valid bits (callers mask bytes)
-    cw = _delete_marked(vals, delmask)
+    cw = _delete_marked(vals, delmask, del_iters)
     nb = valid_bits - lax.population_count(delmask).astype(jnp.int32)
     pos = jnp.cumsum(nb, axis=1) - nb       # exclusive prefix
     total = pos[:, -1:] + nb[:, -1:]        # [L, 1]
@@ -149,14 +193,15 @@ def _assemble(vals, delmask, nvalid_bits, W, fill_ones):
 
     def roll_to_w(a, k):
         """a[:, t+k] as a [L, W] array (out-of-range -> sentinel)."""
-        pad = jnp.full((L, _K + 3), np.int32(1 << 30), a.dtype) \
-            if a.dtype == jnp.int32 else jnp.zeros((L, _K + 3), a.dtype)
+        pad = jnp.full((L, k_max + 3), np.int32(1 << 30), a.dtype) \
+            if a.dtype == jnp.int32 \
+            else jnp.zeros((L, k_max + 3), a.dtype)
         ext = jnp.concatenate([a, pad], axis=1)
         return ext[:, k:k + W]
 
     # k0(t): #candidates k in [0, K] with pos[t+k] <= 32t, minus 1
     k0 = jnp.zeros((L, W), jnp.int32)
-    for k in range(_K + 1):
+    for k in range(k_max + 1):
         k0 = k0 + jnp.where(roll_to_w(pos, k) <= t32, 1, 0)
     k0 = k0 - 1
     # select source words i0 = t + k0, i0+1, i0+2 via where-chains
@@ -166,7 +211,7 @@ def _assemble(vals, delmask, nvalid_bits, W, fill_ones):
     cw1 = jnp.zeros((L, W), _U32)
     nb1 = jnp.zeros((L, W), jnp.int32)
     cw2 = jnp.zeros((L, W), _U32)
-    for k in range(_K + 1):
+    for k in range(k_max + 1):
         m = k0 == k
         pos_sel = jnp.where(m, roll_to_w(pos, k), pos_sel)
         cw0 = jnp.where(m, roll_to_w(cw, k), cw0)
@@ -193,7 +238,8 @@ def _assemble(vals, delmask, nvalid_bits, W, fill_ones):
     return out
 
 
-def unstuff_ms(blob32, byte_off, nbytes, W, fill_ones=True):
+def unstuff_ms(blob32, byte_off, nbytes, W, fill_ones=True,
+               kc=_K):
     """MagSgn: bytes LSB-first, 7 bits after a 0xFF byte (the
     dropped bit is the byte's bit 7), with the dropped bit OR'd into
     the NEXT byte's b0 (frwd_struct32 carry semantics — always 0
@@ -228,16 +274,18 @@ def unstuff_ms(blob32, byte_off, nbytes, W, fill_ones=True):
         carry = jnp.where(valid & pstuff[m], (prev[m] >> 7) & 1,
                           jnp.zeros_like(prev[m]))
         vals = vals | (carry.astype(_U32) << (8 * m))
-    return _assemble(vals, delmask, nbytes * 8, W, fill_ones)
+    return _assemble(vals, delmask, nbytes * 8, W, fill_ones,
+                     k_max=kc, del_iters=4)
 
 
-def unstuff_spp(blob32, byte_off, nbytes, W):
+def unstuff_spp(blob32, byte_off, nbytes, W, kc=_K):
     """SigProp forward reader: MagSgn structure with zero fill
     (frwd_struct32 with fill=0, ojph_block_decoder32.cpp:581-723)."""
-    return unstuff_ms(blob32, byte_off, nbytes, W, fill_ones=False)
+    return unstuff_ms(blob32, byte_off, nbytes, W, fill_ones=False,
+                      kc=kc)
 
 
-def unstuff_mrp(blob32, byte_off, nbytes, W):
+def unstuff_mrp(blob32, byte_off, nbytes, W, kc=_K):
     """MagRef backward reader (rev_init_mrp,
     ojph_block_decoder32.cpp:517-575): bytes of
     [byte_off, byte_off+nbytes) read in REVERSE, LSB-first, bit 7
@@ -274,10 +322,11 @@ def unstuff_mrp(blob32, byte_off, nbytes, W):
         carry = jnp.where(valid & pdang[m], (prev[m] >> 7) & 1,
                           jnp.zeros_like(prev[m]))
         vals = vals | (carry.astype(_U32) << (8 * m))
-    return _assemble(vals, delmask, nbytes * 8, W, False)
+    return _assemble(vals, delmask, nbytes * 8, W, False,
+                     k_max=kc, del_iters=4)
 
 
-def unstuff_mel(blob32, byte_off, nbytes, W):
+def unstuff_mel(blob32, byte_off, nbytes, W, kc=_K):
     """MEL: bytes MSB-first (bit-reversed into the LSB-first dense
     stream), 7 bits after a 0xFF byte (dropping the byte's bit 7 =
     its FIRST emission); ones fill.  The blob's last shared byte
@@ -299,10 +348,11 @@ def unstuff_mel(blob32, byte_off, nbytes, W):
                                       _u32(1) << (8 * m), _u32(0))
         vals = vals | (jnp.where(valid, _bitrev8(bts[m]), 0)
                        << (8 * m))
-    return _assemble(vals, delmask, nbytes * 8, W, True)
+    return _assemble(vals, delmask, nbytes * 8, W, True,
+                     k_max=kc, del_iters=4)
 
 
-def unstuff_vlc(blob32, byte_off, nbytes, W):
+def unstuff_vlc(blob32, byte_off, nbytes, W, kc=_K):
     """VLC backward over the shared range [byte_off, byte_off+nbytes)
     read in REVERSE: emission byte 0 is the nibble byte (high nibble
     LSB-first, 3 bits if (nib&7)==7), later bytes emit low 7/8 bits
@@ -349,4 +399,5 @@ def unstuff_vlc(blob32, byte_off, nbytes, W):
         carry = jnp.where(valid & pdang[m], (prev[m] >> 7) & 1,
                           jnp.zeros_like(prev[m]))
         vals = vals | (carry.astype(_U32) << (8 * m))
-    return _assemble(vals, delmask, nbytes * 8, W, False)
+    return _assemble(vals, delmask, nbytes * 8, W, False,
+                     k_max=kc, del_iters=8)

@@ -68,7 +68,17 @@ def test_mosaic_8k_chunked_sharded():
     assert seen == set(range(ntiles))
 
     # sequential (single-plan, unsharded) decode of the same stream
-    # for the tiles/s comparison; correctness is spot-checked
+    # for the tiles/s comparison; correctness is spot-checked.  The
+    # whole-64MP single dispatch is the largest allocation in the
+    # suite — under xdist parallel workers it can crash the worker
+    # process (memory spike on a loaded host), so the comparison runs
+    # only in serial sessions; the sharded+chunked substance above
+    # always runs.
+    if os.environ.get('PYTEST_XDIST_WORKER'):
+        print(f'\n8K mosaic: encode(chunked) {t_enc:.1f}s; sharded '
+              f'{ntiles / t_shard:.1f} tiles/s (sequential comparison '
+              'skipped under xdist)')
+        return
     from openjph_tpu import decode_tpu
     t0 = time.perf_counter()
     out = decode_tpu(stream)

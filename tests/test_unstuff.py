@@ -45,9 +45,14 @@ def test_unstuff_matches_numpy_reference(seed):
     ms_n = lcups - scups
     sh_n = scups - 1
     sizes = lcups - 1
+    # lead/tail margins per the unstuff blob contract (the window
+    # fetch is a clipped contiguous slice per lane)
+    lead = 4 * (max(wm, wv, ws) + 2)
     base = np.zeros_like(sizes)
+    base[0] = lead
     np.cumsum(sizes[:-1], out=base[1:])
-    total = int(sizes.sum())
+    base[1:] += lead
+    total = int(sizes.sum()) + 2 * lead
     blob = np.zeros(-(-(total + 1) // 4) * 4, np.uint8)
     for i, d in enumerate(datas):
         lc = int(lcups[i])
@@ -116,7 +121,7 @@ def test_budget_fallback_roundtrip(monkeypatch):
     dec = P.TpuDecoder(s)
     plan = P._build_plan(dec)
     mode, args = P._pack_auto([(dec, plan)])
-    assert mode is False  # fell back to the dense-words path
+    assert mode == 0  # fell back to the dense-words path
     out = P.decode_tpu(s)
     np.testing.assert_array_equal(out[0], img)
 
@@ -152,12 +157,13 @@ def test_carry_semantics_vs_scalar_readers(d):
     got_np = prep_cleanup_streams_np([d], np.array([lcup]),
                                      np.array([scup]))['vlc'][0][:4]
     np.testing.assert_array_equal(got_np, ref, err_msg='numpy vlc')
-    blob = np.zeros(16, np.uint8)
-    blob[:lcup - 1] = np.frombuffer(d, np.uint8)[:lcup - 1]
-    blob[lcup - 2] |= 0xF
+    lead = 4 * (6 + 2)   # unstuff blob margin contract
+    blob = np.zeros(lead * 2 + 16, np.uint8)
+    blob[lead:lead + lcup - 1] = np.frombuffer(d, np.uint8)[:lcup - 1]
+    blob[lead + lcup - 2] |= 0xF
     got_dev = np.asarray(unstuff_vlc(
         jnp.asarray(blob.view(np.uint32)),
-        jnp.asarray([0], jnp.int32),
+        jnp.asarray([lead], jnp.int32),
         jnp.asarray([scup - 1], jnp.int32), 6))[0][:4]
     np.testing.assert_array_equal(got_dev, ref, err_msg='device vlc')
     from openjph_tpu import native
@@ -173,11 +179,11 @@ def test_carry_semantics_vs_scalar_readers(d):
         [d + b'\x00\x22'], np.array([lcup + 2]),
         np.array([2]))['ms'][0][:4]
     np.testing.assert_array_equal(got_np, ref, err_msg='numpy ms')
-    blob2 = np.zeros(16, np.uint8)
-    blob2[:lcup] = np.frombuffer(d, np.uint8)
+    blob2 = np.zeros(lead * 2 + 16, np.uint8)
+    blob2[lead:lead + lcup] = np.frombuffer(d, np.uint8)
     got_dev = np.asarray(unstuff_ms(
         jnp.asarray(blob2.view(np.uint32)),
-        jnp.asarray([0], jnp.int32),
+        jnp.asarray([lead], jnp.int32),
         jnp.asarray([lcup], jnp.int32), 6))[0][:4]
     np.testing.assert_array_equal(got_dev, ref, err_msg='device ms')
     if native.have_native():
@@ -209,10 +215,14 @@ def test_unstuff_refine_matches_numpy_reference(seed):
     ref = prep_refine_streams_np(datas, lcups, len2s)
     ws, wm = ref['spp'].shape[1], ref['mrp'].shape[1]
 
-    # device layout: refine bytes only, one run per lane
+    # device layout: refine bytes only, one run per lane (+ the blob
+    # contract's lead/tail margins)
+    lead = 4 * (max(ws, wm) + 2)
     base = np.zeros(n, np.int64)
+    base[0] = lead
     np.cumsum(len2s[:-1], out=base[1:])
-    total = int(len2s.sum())
+    base[1:] += lead
+    total = int(len2s.sum()) + 2 * lead
     blob = np.zeros(-(-(total + 1) // 4) * 4, np.uint8)
     for i, d in enumerate(datas):
         o = int(base[i])
