@@ -810,7 +810,8 @@ def _pack_burst(frames_groups: List[List[dict]]):
     words = np.concatenate(chunks)
     # tail margin: the runner's window fetch is a clipped contiguous
     # slice per lane (unstuff._window contract)
-    dpad = _bucket_words(words.size + maxw + 2)
+    from .unstuff import _ROW
+    dpad = _bucket_words(words.size + maxw + _ROW + 2)
     words = np.pad(words, (0, dpad - words.size))
     meta = np.ascontiguousarray(np.concatenate(metas, axis=0),
                                 np.int32)
@@ -856,8 +857,10 @@ def _pack_burst_fast(pairs):
     offsets = np.zeros(len(datas) + 1, np.int64)
     np.cumsum([len(d) for d in datas], out=offsets[1:])
     # tail margin per the runner's clipped-slice window fetch
+    from .unstuff import _ROW
     dense = np.zeros(_bucket_words(int(tot.sum())
-                                   + int(caps.max()) + 2), np.uint32)
+                                   + int(caps.max()) + _ROW + 2),
+                     np.uint32)
     native.prep_cleanup_dense(blob, offsets, lcups, scups, meta, dense)
     return dense, meta.reshape(-1)
 
@@ -871,7 +874,8 @@ def _blob_margin(pairs) -> int:
     for _, p in pairs:
         for g in p.groups:
             mw = max(mw, *g.words, *g.rwords)
-    return 4 * (mw + 2)
+    from .unstuff import _ROW
+    return 4 * (mw + _ROW + 2)  # row-aligned window fetch contract
 
 
 def _pack_device_records(pairs):

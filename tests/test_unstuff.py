@@ -47,7 +47,7 @@ def test_unstuff_matches_numpy_reference(seed):
     sizes = lcups - 1
     # lead/tail margins per the unstuff blob contract (the window
     # fetch is a clipped contiguous slice per lane)
-    lead = 4 * (max(wm, wv, ws) + 2)
+    lead = 4 * (max(wm, wv, ws) + 514)
     base = np.zeros_like(sizes)
     base[0] = lead
     np.cumsum(sizes[:-1], out=base[1:])
@@ -157,7 +157,7 @@ def test_carry_semantics_vs_scalar_readers(d):
     got_np = prep_cleanup_streams_np([d], np.array([lcup]),
                                      np.array([scup]))['vlc'][0][:4]
     np.testing.assert_array_equal(got_np, ref, err_msg='numpy vlc')
-    lead = 4 * (6 + 2)   # unstuff blob margin contract
+    lead = 4 * (6 + 514)  # unstuff blob margin contract
     blob = np.zeros(lead * 2 + 16, np.uint8)
     blob[lead:lead + lcup - 1] = np.frombuffer(d, np.uint8)[:lcup - 1]
     blob[lead + lcup - 2] |= 0xF
@@ -217,7 +217,7 @@ def test_unstuff_refine_matches_numpy_reference(seed):
 
     # device layout: refine bytes only, one run per lane (+ the blob
     # contract's lead/tail margins)
-    lead = 4 * (max(ws, wm) + 2)
+    lead = 4 * (max(ws, wm) + 514)
     base = np.zeros(n, np.int64)
     base[0] = lead
     np.cumsum(len2s[:-1], out=base[1:])
