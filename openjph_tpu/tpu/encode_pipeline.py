@@ -87,6 +87,11 @@ class _EncPlan:
     bands: List[tuple]
     comps: List[tuple]  # per comp: (reversible, bd, sgn, nlt3, res specs)
     mct: bool
+    # True when the runner should use the lax.scan Tier-1 (height-
+    # merged width groups) even on a pallas backend: odd tile grids
+    # produce dozens of distinct (w, h) classes and the pallas
+    # kernel's static quad-row count would compile one kernel each
+    use_scan: bool = False
 
 
 _ENC_RUNNERS: Dict[tuple, object] = {}
@@ -96,9 +101,15 @@ class TpuEncoder(Encoder):
     """Encoder whose DWT + Tier-1 run on the accelerator; falls back
     to the scalar Encoder path when the plan can't cover the stream."""
 
-    def _build_enc_plan(self, geom) -> Optional[_EncPlan]:
+    # above this many (w, h) block classes the pallas path would
+    # compile one kernel per class; the scan path height-merges
+    _MAX_PALLAS_GROUPS = 12
+
+    def _build_enc_plan(self, geom,
+                        force_scan: bool = False) -> Optional[_EncPlan]:
         if getattr(self, 'ht_passes', 1) != 1:
             return None  # SigProp/MagRef emission: scalar host path
+        use_pallas_groups = _use_pallas() and not force_scan
         groups: Dict[int, _EncGroup] = {}
         bands: List[tuple] = []
         comps = []
@@ -133,7 +144,7 @@ class TpuEncoder(Encoder):
                         # pallas path: keep (w, h) groups — its dense
                         # in-kernel packing runs a static quad-row
                         # count per kernel
-                        gk = (g.rect.w, g.rect.h) if _use_pallas() \
+                        gk = (g.rect.w, g.rect.h) if use_pallas_groups \
                             else g.rect.w
                         grp = groups.get(gk)
                         if grp is None:
@@ -200,10 +211,16 @@ class TpuEncoder(Encoder):
                       _ebucket(qh * pairs * 34 // 32 + 2),
                       _ebucket(qw * qh * 4 * (kx + 1) // 32 + 2))
             g.n_pad = -(-len(g.lanes) // 128) * 128
+        if use_pallas_groups and len(glist) > self._MAX_PALLAS_GROUPS:
+            # odd geometry: rebuild with height-merged width groups
+            # and run the scan Tier-1 instead of one pallas kernel
+            # per (w, h) class
+            return self._build_enc_plan(geom, force_scan=True)
         key = (tuple((g.gid, g.w, g.h, len(g.lanes), tuple(g.strips),
                       tuple(g.p), g.caps) for g in glist),
-               tuple(bands), tuple(comps), mct)
-        return _EncPlan(key, glist, bands, comps, mct)
+               tuple(bands), tuple(comps), mct, force_scan)
+        return _EncPlan(key, glist, bands, comps, mct,
+                        use_scan=force_scan)
 
     def _make_enc_runner(self, plan: _EncPlan, nframes: int = 1,
                          shard=None):
@@ -216,7 +233,7 @@ class TpuEncoder(Encoder):
         groups, bands, comps, mct = (plan.groups, plan.bands,
                                      plan.comps, plan.mct)
         F = nframes
-        use_pallas = _use_pallas()
+        use_pallas = _use_pallas() and not plan.use_scan
         if use_pallas:
             from .block_encode_pallas import encode_cleanup_pallas
 
@@ -364,7 +381,7 @@ class TpuEncoder(Encoder):
         # host: pack segments, build the coded-block structure
         coded = _empty_coded(geom, nc)
         with trace.stage('encode.segment_pack'):
-            if _use_pallas():
+            if _use_pallas() and not plan.use_scan:
                 try:
                     self._consume_pallas_outs(plan, outs, [coded])
                 except _PallasOverflow:
@@ -667,7 +684,7 @@ class VideoEncoder:
             outs = dfut.result()
             codeds = [_empty_coded(geom, nc) for _ in range(F)]
             with trace.stage('encode.segment_pack'):
-                if _use_pallas():
+                if _use_pallas() and not plan.use_scan:
                     try:
                         enc._consume_pallas_outs(plan, outs, codeds)
                     except _PallasOverflow:
