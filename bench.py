@@ -408,6 +408,54 @@ def bench_decode_rgb97(rgb_sets):
     return ours, ratios
 
 
+def bench_config34_device_only():
+    """BASELINE configs 3 and 4, device-compute-only: 4K 12-bit RGBA
+    lossless multi-tile, and an 8K 16-bit 9/7 video frame.  Streams
+    are self-encoded; the fused graphs are timed HBM->HBM."""
+    import jax
+    import numpy as np
+    from openjph_tpu import encode
+    from openjph_tpu.tpu.pipeline import (TpuDecoder, _build_plan,
+                                          _make_runner, _pack_auto)
+    rng = np.random.RandomState(5)
+    yy, xx = np.mgrid[0:2160, 0:4096].astype(np.float32)
+    base = (2048 + 1500 * np.sin(xx / 131.0) * np.cos(yy / 97.0)
+            + rng.normal(0, 40, (2160, 4096)))
+
+    def timed(stream, mp, metric, reps=3):
+        dec = TpuDecoder(stream)
+        plan = _build_plan(dec)
+        if plan is None:
+            return
+        mode, args = _pack_auto([(dec, plan)])
+        runner = _make_runner(plan, 1, device_unstuff=mode)
+        dargs = tuple(jax.device_put(a) for a in args)
+        jax.block_until_ready(runner(*dargs))
+        vals = []
+        for _ in range(ROUNDS2):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = runner(*dargs)
+            jax.block_until_ready(out)
+            vals.append(mp * reps / (time.perf_counter() - t0))
+        _emit(metric, vals, [])
+
+    # config 3: 4K RGBA 12-bit lossless, 1024x1024 tiles
+    rgba = [np.clip(base + c * 97, 0, 4095).astype(np.int32)
+            for c in range(4)]
+    s3 = encode(rgba, bit_depth=12, reversible=True, num_decomps=5,
+                tile_size=(1024, 1024))
+    timed(s3, 4096 * 2160 / 1e6, 'decode_device_only_4k_rgba12_tiles')
+
+    # config 4: 8K 16-bit 9/7 lossy frame (delta chosen so Kmax stays
+    # on the 32-bit fused path)
+    img8k = np.clip(np.kron(base, np.ones((2, 2))) * 16, 0,
+                    65535).astype(np.int32)
+    s4 = encode([img8k], bit_depth=16, reversible=False,
+                base_delta=0.25, num_decomps=5)
+    timed(s4, 8192 * 4320 / 1e6, 'decode_device_only_8k_16bit_97')
+
+
 def main():
     from openjph_tpu import encode
     frame_sets = make_frames()
@@ -445,6 +493,14 @@ def main():
                   vals, rr)
     except Exception as e:  # noqa: BLE001
         print(f'device-only encode bench failed: {e!r}', file=sys.stderr)
+    if os.environ.get('OJTPU_BENCH_FULLCONFIGS'):
+        # configs 3/4 cost minutes of stream construction + compiles;
+        # opt-in so the driver's per-round run stays bounded (see
+        # BENCH_CONFIGS.json for recorded values)
+        try:
+            bench_config34_device_only()
+        except Exception as e:  # noqa: BLE001
+            print(f'config 3/4 bench failed: {e!r}', file=sys.stderr)
 
     # headline LAST (the driver records the final JSON line)
     _emit('decode_to_hbm_8x2048x1080_gray_lossless', ours, ratios)

@@ -449,19 +449,21 @@ _VMEM_BUDGET = 8 << 20
 
 
 def _lane_tile(S: int, qw: int, wm: int, wv: int, ws: int) -> int:
-    """Largest divisor of S whose per-tile VMEM working set (stream
-    blocks + output row block + scratch) fits the budget — the batch
-    axis is tiled by the grid, so total lane count never constrains
-    compilation."""
+    """Lane-tile size whose per-tile VMEM working set (stream blocks
+    + output row block + scratch) fits the budget — the batch axis is
+    tiled by the grid, so total lane count never constrains
+    compilation.  Mosaic requires a block's sublane dimension to be a
+    multiple of 8 or equal to the full extent, so the tile is either
+    S itself (when it fits) or a multiple of 8 (the caller pads S up
+    to a multiple of the tile)."""
     qw2 = ((qw + 1) // 2) * 2
     rows = (wm + wv + ws) + 2 + qw * 4 + 1 \
         + 24 + 2 * (qw2 + 3) + qw2 + 2 * (qw + 2)
     per_sb = rows * 128 * 4
     sb_max = max(1, _VMEM_BUDGET // per_sb)
-    for d in range(min(S, sb_max), 0, -1):
-        if S % d == 0:
-            return d
-    return 1
+    if S <= sb_max:
+        return S
+    return max(8, (sb_max // 8) * 8)
 
 
 @partial(jax.jit, static_argnums=(5, 6, 7))
@@ -469,9 +471,20 @@ def _run_pallas(melw, vlcw, msw, p, qhl, dims, nlanes,
                 interpret=False):
     """melw.. [N, W] u32; p, qhl [N] i32; dims=(qw,qh,width); nlanes=N."""
     qw, qh, width = dims
-    S = nlanes // 128
+    S0 = nlanes // 128
     wm, wv, ws = melw.shape[1], vlcw.shape[1], msw.shape[1]
-    SB = _lane_tile(S, qw, wm, wv, ws)
+    SB = _lane_tile(S0, qw, wm, wv, ws)
+    S = -(-S0 // SB) * SB   # pad lanes so the tile divides evenly
+    if S != S0:
+        padl = (S - S0) * 128
+        ones = np.uint32(0xFFFFFFFF)
+        melw = jnp.pad(melw, ((0, padl), (0, 0)),
+                       constant_values=ones)
+        vlcw = jnp.pad(vlcw, ((0, padl), (0, 0)))
+        msw = jnp.pad(msw, ((0, padl), (0, 0)),
+                      constant_values=ones)
+        p = jnp.pad(p, (0, padl), constant_values=30)
+        qhl = jnp.pad(qhl, (0, padl))  # qhl 0: no error reporting
     n_sb = S // SB
 
     kern = _make_kernel(qw, qh, SB, wm, wv, ws, width)
@@ -523,7 +536,7 @@ def _run_pallas(melw, vlcw, msw, p, qhl, dims, nlanes,
     # (qh, qw*4, S, 128) -> [N, 2qh, 2qw]; sample n = dx*2 + dy
     d = dec.reshape(qh, qw, 2, 2, S * 128)       # (r, qx, dx, dy, lane)
     d = d.transpose(4, 0, 3, 1, 2).reshape(S * 128, qh * 2, qw * 2)
-    return d, err.reshape(S * 128) != 0
+    return d[:nlanes], err.reshape(S * 128)[:nlanes] != 0
 
 
 def decode_cleanup_pallas(melw, vlcw, msw, p, width: int, height: int,

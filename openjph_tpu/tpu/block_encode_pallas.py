@@ -181,7 +181,9 @@ def _make_kernel(qw: int, qh: int, S: int, wp: int,
     def kernel(buf, p_ref, vlct, uvt,
                melw, vlcw, msw, meta_out,
                state, e_val, cx_val):
-        r = pl.program_id(0)
+        # grid = (lane tiles, quad rows); rows innermost, state
+        # re-initializes at each tile's row 0
+        r = pl.program_id(1)
         zero = jnp.zeros((S, 128), _U32)
         zi = jnp.zeros((S, 128), jnp.int32)
 
@@ -493,6 +495,28 @@ def _make_kernel(qw: int, qh: int, S: int, wp: int,
     return kernel
 
 
+# VMEM working-set budget per lane tile (bytes), leaving headroom
+# under the 16 MiB scoped limit for Mosaic's own temporaries.
+_VMEM_BUDGET = 8 << 20
+
+
+def _lane_tile(S: int, qw: int, wp: int, wm: int, wv: int,
+               ws: int) -> int:
+    """Lane-tile size whose per-tile VMEM working set fits the budget
+    (the batch axis is tiled by the grid).  Mosaic requires a block's
+    sublane dimension to be a multiple of 8 or the full extent, so
+    the tile is S itself when it fits, else a multiple of 8 (the
+    caller pads S up to a tile multiple)."""
+    qw2 = ((qw + 1) // 2) * 2
+    rows = 2 * wp + 1 + (wm + wv + ws + 4) \
+        + 28 + 2 * (2 * qw2 + 4)
+    per_sb = rows * 128 * 4
+    sb_max = max(1, _VMEM_BUDGET // per_sb)
+    if S <= sb_max:
+        return S
+    return max(8, (sb_max // 8) * 8)
+
+
 @partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def _run_encode_pallas(buf, p, dims, caps, nlanes, interpret=False):
     """buf [N, hp, wp] u32 sign-magnitude (padded); p [N] int32
@@ -501,31 +525,42 @@ def _run_encode_pallas(buf, p, dims, caps, nlanes, interpret=False):
     bits [N, 3] int32, ovf [N] bool)."""
     qw, qh, wp = dims
     wm, wv, ws = caps
-    S = nlanes // 128
+    S0 = nlanes // 128
+    SB = _lane_tile(S0, qw, wp, wm, wv, ws)
+    S = -(-S0 // SB) * SB   # pad lanes so the tile divides evenly
+    if S != S0:
+        padl = (S - S0) * 128
+        # zero samples: padded lanes encode as empty blocks
+        buf = jnp.pad(buf, ((0, padl), (0, 0), (0, 0)))
+        p = jnp.pad(p, (0, padl), constant_values=8)
+    n_sb = S // SB
 
-    kern = _make_kernel(qw, qh, S, wp, wm, wv, ws)
+    kern = _make_kernel(qw, qh, SB, wp, wm, wv, ws)
     vlct, uvt = _enc_tables_chunks()
 
     # (N, hp, wp) -> (hp, wp, S, 128)
     b = buf.reshape(S, 128, buf.shape[1], wp).transpose(2, 3, 0, 1)
 
-    const2 = lambda r: (0, 0)
-    const3 = lambda r: (0, 0, 0)
+    lane2 = lambda sb, r: (sb, 0)
+    const2 = lambda sb, r: (0, 0)
+    strm3 = lambda sb, r: (0, sb, 0)
     melw, vlcw, msw, meta = pl.pallas_call(
         kern,
-        grid=(qh,),
+        # grid = (lane tiles, quad rows); rows iterate innermost so
+        # the VMEM writer/context state persists across a tile's rows
+        grid=(n_sb, qh),
         in_specs=[
-            pl.BlockSpec((2, wp, S, 128), lambda r: (r, 0, 0, 0),
+            pl.BlockSpec((2, wp, SB, 128), lambda sb, r: (r, 0, sb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, 128), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((SB, 128), lane2, memory_space=pltpu.VMEM),
             pl.BlockSpec((32, 128), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((4, 128), const2, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((wm, S, 128), const3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((wv, S, 128), const3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ws, S, 128), const3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, S, 128), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wm, SB, 128), strm3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wv, SB, 128), strm3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ws, SB, 128), strm3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, SB, 128), strm3, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((wm, S, 128), jnp.uint32),
@@ -535,20 +570,20 @@ def _run_encode_pallas(buf, p, dims, caps, nlanes, interpret=False):
         ],
         interpret=interpret,
         scratch_shapes=[
-            pltpu.VMEM((28, S, 128), jnp.uint32),       # writers + ctx
-            pltpu.VMEM((2 * ((qw + 1) // 2) * 2 + 4, S, 128),
+            pltpu.VMEM((28, SB, 128), jnp.uint32),      # writers + ctx
+            pltpu.VMEM((2 * ((qw + 1) // 2) * 2 + 4, SB, 128),
                        jnp.uint32),                      # e_val rows
-            pltpu.VMEM((2 * ((qw + 1) // 2) * 2 + 4, S, 128),
+            pltpu.VMEM((2 * ((qw + 1) // 2) * 2 + 4, SB, 128),
                        jnp.uint32),                      # cx_val rows
         ],
     )(b, p.reshape(S, 128), vlct, uvt)
 
     def back(w):
-        return w.transpose(1, 2, 0).reshape(S * 128, w.shape[0])
+        return w.transpose(1, 2, 0).reshape(S * 128, w.shape[0])[:nlanes]
 
     bits = meta[:3].transpose(1, 2, 0).reshape(S * 128, 3) \
-        .astype(jnp.int32)
-    ovf = meta[3].reshape(S * 128) != 0
+        .astype(jnp.int32)[:nlanes]
+    ovf = meta[3].reshape(S * 128)[:nlanes] != 0
     return back(melw), back(vlcw), back(msw), bits, ovf
 
 

@@ -51,3 +51,32 @@ def test_pallas_matches_scan(rng, shape, bs, monkeypatch):
             assert np.array_equal(out[i, :hh], ref[i, :hh]), \
                 f'lane {i} of group w={g.w}'
         assert not np.asarray(err)[:len(g.members)].any()
+
+
+@pytest.mark.parametrize('budget', [1 << 18, 1 << 20])
+def test_pallas_lane_tiling(rng, budget, monkeypatch):
+    """Shrunken VMEM budget forces the lane-axis grid tiling (and,
+    when the tile doesn't divide the sublane count, the lane-padding
+    path); results must stay bit-identical to the scan decoder."""
+    import openjph_tpu.tpu.pipeline as P
+    import openjph_tpu.tpu.block_decode_pallas as BP
+    monkeypatch.setattr(P, '_USE_PALLAS', True)
+    monkeypatch.setattr(BP, '_VMEM_BUDGET', budget)
+    img = (rng.randint(0, 256, (96, 128))).astype(np.int32)
+    stream = encode([img], bit_depth=8, reversible=True,
+                    block_size=(32, 32), num_decomps=2)
+    for g, (mel, vlc, ms, p, qhl) in _group_inputs(stream):
+        ref, _ = decode_cleanup(jnp.asarray(mel), jnp.asarray(vlc),
+                                jnp.asarray(ms), jnp.asarray(p),
+                                g.w, g.h)
+        out, err = decode_cleanup_pallas(
+            jnp.asarray(mel), jnp.asarray(vlc), jnp.asarray(ms),
+            jnp.asarray(p), g.w, g.h, jnp.asarray(qhl),
+            interpret=True)
+        ref = np.asarray(ref)
+        out = np.asarray(out)
+        for i in range(len(g.members)):
+            hh = int(qhl[i]) * 2
+            assert np.array_equal(out[i, :hh], ref[i, :hh]), \
+                f'lane {i} of group w={g.w} (budget {budget})'
+        assert not np.asarray(err)[:len(g.members)].any()

@@ -96,3 +96,59 @@ def test_pipeline_mixed_height_groups(rng, monkeypatch):
     img = rng.randint(0, 256, (100, 150, 3)).astype(np.int32)
     assert encode_tpu(img, reversible=True, num_decomps=3) \
         == encode(img, reversible=True, num_decomps=3)
+
+
+def test_encode_kernel_lane_tiling(rng, monkeypatch):
+    """Shrunken VMEM budget forces the encode kernel's lane-axis grid
+    tiling (+ lane padding when the tile doesn't divide the sublane
+    count); packed segments must stay byte-identical to the records
+    path."""
+    import openjph_tpu.tpu.block_encode_pallas as BE
+    monkeypatch.setattr(BE, '_VMEM_BUDGET', 1 << 18)
+    w = h = 16
+    kmax = 8
+    n = 3 * 128  # S = 3, budget forces SB = 8: pads to S = 8
+    hp, wp = h, w
+    mag = rng.randint(0, 1 << kmax, (n, h, w)).astype(np.uint32)
+    sign = rng.randint(0, 2, (n, h, w)).astype(np.uint32) << 31
+    buf = (np.where(mag != 0, sign, 0) | (mag << (31 - kmax))) \
+        .astype(np.uint32)
+    buf = np.ascontiguousarray(buf.reshape(n, hp, wp))
+    p = np.full(n, 31 - kmax, np.int32)
+
+    mel_e, vlc_c, vlc_l, ms_v, ms_l = encode_cleanup_core(
+        jnp.asarray(buf), jnp.asarray(p), w, h)
+    sw = lambda a: np.asarray(a).swapaxes(0, 1)
+    pairs = ((w + 1) // 2 + 1) // 2
+    qh = (h + 1) // 2
+    pairs_real = np.full(n, qh * pairs, np.int64)
+    stride = h * w * 5 + 256
+    out_r, lens_r = native.pack_cleanup_segments(
+        sw(mel_e), sw(vlc_c), sw(vlc_l), sw(ms_v), sw(ms_l),
+        pairs_real, out_stride=stride)
+
+    caps = _caps(w, h, kmax)
+    melw, vlcw, msw, bits, ovf = encode_cleanup_pallas(
+        jnp.asarray(buf), jnp.asarray(p), w, h, caps, interpret=True)
+    melw, vlcw, msw, bits, ovf = (np.asarray(x) for x in
+                                  (melw, vlcw, msw, bits, ovf))
+    assert not ovf.any()
+    assert melw.shape[0] == n  # padding sliced off
+    cnts = (bits + 31) // 32
+    meta = np.zeros((n, 6), np.int64)
+    chunks = []
+    cur = 0
+    for i in range(n):
+        for si, pln in ((0, melw), (1, vlcw), (2, msw)):
+            c = int(cnts[i, si])
+            meta[i, si * 2] = cur
+            meta[i, si * 2 + 1] = int(bits[i, si])
+            chunks.append(pln[i, :c])
+            cur += c
+    dense = np.concatenate(chunks)
+    out_p, lens_p = native.pack_from_dense(dense, meta,
+                                           out_stride=stride)
+    for i in range(n):
+        assert lens_r[i] == lens_p[i], f'lane {i} length'
+        assert np.array_equal(out_r[i, :lens_r[i]],
+                              out_p[i, :lens_p[i]]), f'lane {i} bytes'
