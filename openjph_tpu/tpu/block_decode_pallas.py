@@ -443,9 +443,13 @@ def _tables_chunks():
     return vlc.reshape(16, 128), uvlc.reshape(6, 128)
 
 
-# VMEM working-set budget per lane tile (bytes).  The scoped limit is
-# 16 MiB; leave headroom for Mosaic's own temporaries.
-_VMEM_BUDGET = 8 << 20
+# VMEM working-set budget per lane tile (bytes).  v5e/v5p cores have
+# 128 MiB of VMEM; the kernel raises Mosaic's scoped limit
+# (vmem_limit_bytes below) instead of living under the 16 MiB
+# default.  Mosaic double-buffers every grid-indexed block, so
+# in/out block rows count twice; scratch does not.
+_VMEM_BUDGET = 48 << 20
+_VMEM_LIMIT = 100 << 20
 
 
 def _lane_tile(S: int, qw: int, wm: int, wv: int, ws: int) -> int:
@@ -457,9 +461,9 @@ def _lane_tile(S: int, qw: int, wm: int, wv: int, ws: int) -> int:
     S itself (when it fits) or a multiple of 8 (the caller pads S up
     to a multiple of the tile)."""
     qw2 = ((qw + 1) // 2) * 2
-    rows = (wm + wv + ws) + 2 + qw * 4 + 1 \
-        + 24 + 2 * (qw2 + 3) + qw2 + 2 * (qw + 2)
-    per_sb = rows * 128 * 4
+    io_rows = (wm + wv + ws) + 2 + qw * 4 + 1       # double-buffered
+    scratch_rows = 24 + 2 * (qw2 + 3) + qw2 + 2 * (qw + 2)
+    per_sb = (2 * io_rows + scratch_rows) * 128 * 4
     sb_max = max(1, _VMEM_BUDGET // per_sb)
     if S <= sb_max:
         return S
@@ -522,6 +526,8 @@ def _run_pallas(melw, vlcw, msw, p, qhl, dims, nlanes,
             jax.ShapeDtypeStruct((S, 128), jnp.uint32),
         ],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         scratch_shapes=[
             pltpu.VMEM((24, SB, 128), jnp.uint32),      # reader state
             pltpu.VMEM((qw2 + 3, SB, 128), jnp.uint32),  # inf_prev

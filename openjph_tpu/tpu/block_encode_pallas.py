@@ -495,9 +495,14 @@ def _make_kernel(qw: int, qh: int, S: int, wp: int,
     return kernel
 
 
-# VMEM working-set budget per lane tile (bytes), leaving headroom
-# under the 16 MiB scoped limit for Mosaic's own temporaries.
-_VMEM_BUDGET = 8 << 20
+# VMEM working-set budget per lane tile (bytes).  v5e/v5p cores have
+# 128 MiB of VMEM; the worst-case dense output planes are the bulk of
+# the working set, so the kernel raises Mosaic's scoped limit
+# (vmem_limit_bytes below) instead of living under the 16 MiB default.
+# Mosaic double-buffers every grid-indexed block, so in/out block rows
+# count twice; scratch does not.
+_VMEM_BUDGET = 48 << 20
+_VMEM_LIMIT = 100 << 20
 
 
 def _lane_tile(S: int, qw: int, wp: int, wm: int, wv: int,
@@ -508,9 +513,9 @@ def _lane_tile(S: int, qw: int, wp: int, wm: int, wv: int,
     the tile is S itself when it fits, else a multiple of 8 (the
     caller pads S up to a tile multiple)."""
     qw2 = ((qw + 1) // 2) * 2
-    rows = 2 * wp + 1 + (wm + wv + ws + 4) \
-        + 28 + 2 * (2 * qw2 + 4)
-    per_sb = rows * 128 * 4
+    io_rows = 2 * wp + 1 + (wm + wv + ws + 4)        # double-buffered
+    scratch_rows = 28 + 2 * (2 * qw2 + 4)
+    per_sb = (2 * io_rows + scratch_rows) * 128 * 4
     sb_max = max(1, _VMEM_BUDGET // per_sb)
     if S <= sb_max:
         return S
@@ -569,6 +574,8 @@ def _run_encode_pallas(buf, p, dims, caps, nlanes, interpret=False):
             jax.ShapeDtypeStruct((4, S, 128), jnp.uint32),
         ],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         scratch_shapes=[
             pltpu.VMEM((28, SB, 128), jnp.uint32),      # writers + ctx
             pltpu.VMEM((2 * ((qw + 1) // 2) * 2 + 4, SB, 128),
