@@ -448,8 +448,8 @@ def _tables_chunks():
 # (vmem_limit_bytes below) instead of living under the 16 MiB
 # default.  Mosaic double-buffers every grid-indexed block, so
 # in/out block rows count twice; scratch does not.
-_VMEM_BUDGET = 48 << 20
-_VMEM_LIMIT = 100 << 20
+_VMEM_BUDGET = 96 << 20
+_VMEM_LIMIT = 126 << 20
 
 
 def _lane_tile(S: int, qw: int, wm: int, wv: int, ws: int) -> int:
