@@ -73,15 +73,43 @@ def _mel_exp(k):
     return jnp.where(k >= 11, k - 7, jnp.minimum(k // 3, 3))
 
 
-def _fetch(words_ref, wi, nwords: int):
-    """words_ref (W,S,128); wi (S,128) int32 -> word per lane (clamped
-    onto the guard words)."""
+# Page height for the gated stream fetch.  A fetch is a
+# mask-multiply-reduce over word-plane rows (per-lane divergent reads
+# have no native primitive); scanning all W rows per trip is the
+# kernel's cost driver, so the scan is gated to the 32-row pages that
+# contain some NEEDY lane's word index.  Lanes advance at similar
+# rates within a tile (and the host packs lanes sorted by stream
+# length), so the needy span is typically 1-3 pages out of ~24.
+_PAGE = 32
+
+
+def _fetch(words_ref, wi, nwords: int, need=None):
+    """words_ref (W,S,128) with W % _PAGE == 0; wi (S,128) int32 ->
+    word per lane (clamped onto the guard words).  ``need`` masks the
+    lanes whose result will be consumed; non-needy lanes may get
+    garbage (the caller selects against them)."""
     wic = jnp.minimum(wi, nwords - 1)
-    iota = lax.broadcasted_iota(jnp.int32, (nwords,) + wi.shape, 0)
-    m = iota == wic[None]
-    wsel = jnp.where(m, lax.bitcast_convert_type(words_ref[:],
-                                                 jnp.int32), 0)
-    return lax.bitcast_convert_type(jnp.sum(wsel, axis=0), _U32)
+    if need is None or nwords <= _PAGE:
+        iota = lax.broadcasted_iota(jnp.int32, (nwords,) + wi.shape, 0)
+        m = iota == wic[None]
+        wsel = jnp.where(m, lax.bitcast_convert_type(words_ref[:],
+                                                     jnp.int32), 0)
+        return lax.bitcast_convert_type(jnp.sum(wsel, axis=0), _U32)
+    pmin = jnp.min(jnp.where(need, wic, nwords - 1)) // _PAGE
+    pmax = jnp.max(jnp.where(need, wic, 0)) // _PAGE
+
+    def body(pg, acc):
+        rows = words_ref[pl.ds(pg * _PAGE, _PAGE)]
+        iota = lax.broadcasted_iota(jnp.int32, (_PAGE,) + wi.shape, 0) \
+            + pg * _PAGE
+        m = iota == wic[None]
+        wsel = jnp.where(m, lax.bitcast_convert_type(rows, jnp.int32),
+                         0)
+        return acc + jnp.sum(wsel, axis=0)
+
+    acc = lax.fori_loop(pmin, pmax + 1, body,
+                        jnp.zeros(wi.shape, jnp.int32))
+    return lax.bitcast_convert_type(acc, _U32)
 
 
 # ---------------------------------------------------------------------------
@@ -148,7 +176,7 @@ def _refill_to(st, target: int, words_ref, nwords: int):
 
         def fetch(s):
             nd = s[_NLIMB] < target
-            wv = _fetch(words_ref, s[_NLIMB + 1], nwords)
+            wv = _fetch(words_ref, s[_NLIMB + 1], nwords, need=nd)
             pushed = _push_word(s, wv)
             return tuple(jnp.where(nd, p, q) if p.dtype == q.dtype
                          else p
@@ -476,12 +504,24 @@ def _run_pallas(melw, vlcw, msw, p, qhl, dims, nlanes,
     """melw.. [N, W] u32; p, qhl [N] i32; dims=(qw,qh,width); nlanes=N."""
     qw, qh, width = dims
     S0 = nlanes // 128
+    ones = np.uint32(0xFFFFFFFF)
+    # word planes padded to _PAGE multiples for the page-gated fetch
+    # (pad rows carry each stream's guard fill)
+    def _pad_page(w, guard):
+        W0 = w.shape[1]
+        Wp = -(-W0 // _PAGE) * _PAGE
+        if Wp != W0:
+            w = jnp.pad(w, ((0, 0), (0, Wp - W0)),
+                        constant_values=guard)
+        return w
+    melw = _pad_page(melw, ones)
+    vlcw = _pad_page(vlcw, np.uint32(0))
+    msw = _pad_page(msw, ones)
     wm, wv, ws = melw.shape[1], vlcw.shape[1], msw.shape[1]
     SB = _lane_tile(S0, qw, wm, wv, ws)
     S = -(-S0 // SB) * SB   # pad lanes so the tile divides evenly
     if S != S0:
         padl = (S - S0) * 128
-        ones = np.uint32(0xFFFFFFFF)
         melw = jnp.pad(melw, ((0, padl), (0, 0)),
                        constant_values=ones)
         vlcw = jnp.pad(vlcw, ((0, padl), (0, 0)))

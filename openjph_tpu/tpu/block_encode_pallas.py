@@ -100,6 +100,14 @@ def _append(st, v, ln):
     return (*out, nb + ln, wi, ovf)
 
 
+# Page height for the gated word scatter: a completed word lands at a
+# per-lane index, which has no native scatter primitive, so the plane
+# write is a masked read-modify-write — gated to the 32-row pages
+# holding some flushing lane's word index (lanes emit at similar
+# rates, so the span is a few pages out of the worst-case cap).
+_PAGE = 32
+
+
 def _flush_one(st, out_ref, nwords: int):
     """Scatter the completed low word of every lane with nb >= 32."""
     w = list(st[:_NLIMB])
@@ -107,9 +115,25 @@ def _flush_one(st, out_ref, nwords: int):
     doit = nb >= 32
     ovf = ovf | jnp.where(doit & (wi >= nwords), _u32(1), _u32(0))
     wic = jnp.minimum(wi, nwords - 1)
-    iota = lax.broadcasted_iota(jnp.int32, (nwords,) + nb.shape, 0)
-    m = (iota == wic[None]) & doit[None]
-    out_ref[:] = jnp.where(m, w[0][None], out_ref[:])
+    if nwords <= _PAGE or nwords % _PAGE:
+        iota = lax.broadcasted_iota(jnp.int32, (nwords,) + nb.shape, 0)
+        m = (iota == wic[None]) & doit[None]
+        out_ref[:] = jnp.where(m, w[0][None], out_ref[:])
+    else:
+        pmin = jnp.min(jnp.where(doit, wic, nwords - 1)) // _PAGE
+        pmax = jnp.max(jnp.where(doit, wic, 0)) // _PAGE
+        w0 = w[0]
+
+        def body(pg, carry):
+            rows = out_ref[pl.ds(pg * _PAGE, _PAGE)]
+            iota = lax.broadcasted_iota(
+                jnp.int32, (_PAGE,) + nb.shape, 0) + pg * _PAGE
+            m = (iota == wic[None]) & doit[None]
+            out_ref[pl.ds(pg * _PAGE, _PAGE)] = \
+                jnp.where(m, w0[None], rows)
+            return carry
+
+        lax.fori_loop(pmin, pmax + 1, body, 0)
     nw = [jnp.where(doit, w[k + 1] if k + 1 < _NLIMB
                     else jnp.zeros_like(w[k]), w[k])
           for k in range(_NLIMB)]
