@@ -186,6 +186,140 @@ def _refill_to(st, target: int, words_ref, nwords: int):
     return st
 
 
+def _push_bits(st, wv, k):
+    """Insert ``k`` (per-lane, 0..32) bits of wv at position nb —
+    the variable-length cousin of :func:`_push_word` for the raw
+    readers (an unstuffed word carries 32 minus its deleted-bit
+    count).  wv must be zero above its k payload bits
+    (:func:`_delete_marked` guarantees it)."""
+    w = list(st[:_NLIMB])
+    nb, wi = st[_NLIMB], st[_NLIMB + 1]
+    limb = nb >> 5
+    off = (nb & 31).astype(_U32)
+    lo_ins = wv << off
+    hi_ins = jnp.where(off == 0, _u32(0),
+                       wv >> (_u32(32) - jnp.clip(nb & 31, 1, 31)
+                              .astype(_U32)))
+    out = []
+    for j in range(_NLIMB):
+        v = w[j]
+        v = jnp.where(limb == j, v | lo_ins, v)
+        if j > 0:
+            v = jnp.where(limb == j - 1, v | hi_ins, v)
+        out.append(v)
+    return (*out, nb + k, wi + 1)
+
+
+def _delete_marked(w, d, iters: int):
+    """Remove up to ``iters`` marked bits from each word, compacting
+    the survivors toward the LSB (same loop as unstuff._delete_marked;
+    duplicated here so the kernel has no XLA-module dependency)."""
+    for _ in range(iters):
+        b = d & (~d + _u32(1))
+        mlow = b - _u32(1)
+        w2 = (w & mlow) | ((w >> 1) & ~mlow)
+        d2 = (d >> 1) & ~mlow
+        keep = b == 0
+        w = jnp.where(keep, w, w2)
+        d = jnp.where(keep, d, d2)
+    return w
+
+
+# Raw-reader stream kinds (in-kernel unstuffing: the fetched word is
+# the lane's RAW stuffed bytes; deletion masks follow the reference
+# readers — frwd_struct32 / dec_mel_st / rev_struct,
+# ojph_block_decoder32.cpp:63-723 — and mirror tpu/unstuff.py, the
+# XLA formulation these rules are tested against)
+_RAW_MS, _RAW_MEL, _RAW_VLC = 0, 1, 2
+
+
+def _ingest(kind: int, wv, widx, nbytes, pb, fl):
+    """Unstuff one raw word.  wv: fetched LE word; widx: its stream
+    word index; nbytes: per-lane stream byte count; pb: previous raw
+    byte; fl: previous byte's stuffed/dangle flag.  Returns
+    (payload word, payload bit count, pb', fl')."""
+    zero = jnp.zeros_like(wv)
+    vals = zero
+    dmask = zero
+    for m in range(4):
+        bidx = widx * 4 + m
+        valid = bidx < nbytes
+        b = (wv >> _u32(8 * m)) & _u32(0xFF)
+        if kind == _RAW_MS:
+            bv = jnp.where(valid, b, _u32(0xFF))
+            carry = jnp.where(valid & (fl != 0), (pb >> _u32(7))
+                              & _u32(1), _u32(0))
+            stuffed = valid & (pb == 0xFF) & (bidx > 0)
+            dmask = dmask | jnp.where(stuffed,
+                                      _u32(1) << _u32(8 * m + 7),
+                                      _u32(0))
+            bv = bv | carry
+            fl = stuffed.astype(_U32)
+        elif kind == _RAW_MEL:
+            bv0 = jnp.where(valid, b, _u32(0xFF))
+            stuffed = valid & (pb == 0xFF) & (bidx > 0)
+            dmask = dmask | jnp.where(stuffed, _u32(1) << _u32(8 * m),
+                                      _u32(0))
+            bv = _bitrev8_k(bv0)
+        else:  # _RAW_VLC (reversed emission-order view)
+            bv = jnp.where(valid, b, _u32(0))
+            first = bidx == 0
+            last = bidx == (nbytes - 1)
+            carry = jnp.where(valid & (fl != 0), (pb >> _u32(7))
+                              & _u32(1), _u32(0))
+            drop = (~first) & valid & (pb > 0x8F) \
+                & ((b & _u32(0x7F)) == 0x7F)
+            nib3 = first & valid & (((b >> _u32(4)) & _u32(7)) == 7)
+            dang = drop | nib3
+            dmask = dmask | jnp.where(dang & ~last,
+                                      _u32(1) << _u32(8 * m + 7),
+                                      _u32(0))
+            dmask = dmask | jnp.where(first & valid,
+                                      _u32(0xF) << _u32(8 * m),
+                                      _u32(0))
+            bv = bv | carry
+            fl = dang.astype(_U32)
+        vals = vals | (bv << _u32(8 * m))
+        pb = b
+    k = 32 - lax.population_count(dmask).astype(jnp.int32)
+    w = _delete_marked(vals, dmask, 8 if kind == _RAW_VLC else 4)
+    return w, k, pb, fl
+
+
+def _bitrev8_k(b):
+    b = ((b & 0xF0) >> 4) | ((b & 0x0F) << 4)
+    b = ((b & 0xCC) >> 2) | ((b & 0x33) << 2)
+    b = ((b & 0xAA) >> 1) | ((b & 0x55) << 1)
+    return b
+
+
+def _refill_raw(st, bst, target: int, words_ref, nwords: int,
+                kind: int, nbytes):
+    """Raw-mode refill: fetch + unstuff + variable-length push until
+    every lane has >= target bits.  A stuffed word carries >= 24
+    payload bits (VLC nibble word worst case), hence the trip count."""
+    trips = (target + 23) // 24
+    for _ in range(trips):
+        need = st[_NLIMB] < target
+
+        def fetch(flat):
+            s, pb, fl = flat[:7], flat[7], flat[8]
+            nd = s[_NLIMB] < target
+            wv = _fetch(words_ref, s[_NLIMB + 1], nwords, need=nd)
+            w, k, pb2, fl2 = _ingest(kind, wv, s[_NLIMB + 1], nbytes,
+                                     pb, fl)
+            pushed = _push_bits(s, w, k)
+            out = tuple(jnp.where(nd, a, b)
+                        for a, b in zip(pushed, s))
+            return out + (jnp.where(nd, pb2, pb),
+                          jnp.where(nd, fl2, fl))
+
+        flat = tuple(st) + (bst[0], bst[1])
+        flat = lax.cond(jnp.any(need), fetch, lambda x: x, flat)
+        st, bst = flat[:7], (flat[7], flat[8])
+    return st, bst
+
+
 def _peek(st):
     return st[0]
 
@@ -216,12 +350,15 @@ def _bitrev(v, length, maxlen=5):
 # ---------------------------------------------------------------------------
 
 # scratch row map inside the (24, S, 128) u32 state buffer
+# (raw mode appends 5 byte-state rows: prev byte + flag per stream)
 _MEL0, _VLC0, _MS0 = 0, 7, 14          # 7 rows each: w0..w4, nb, wi
 _MELK, _RUN, _PVN = 21, 22, 23
+_MSPB, _MSPF, _MELPB, _VLCPB, _VLCPF = 24, 25, 26, 27, 28
+_STATE_ROWS, _STATE_ROWS_RAW = 24, 29
 
 
 def _make_kernel(qw: int, qh: int, S: int, wm: int, wv: int, ws: int,
-                 width: int):
+                 width: int, raw: bool = False):
     pairs = (qw + 1) // 2
 
     def ld_reader(state, base):
@@ -257,14 +394,42 @@ def _make_kernel(qw: int, qh: int, S: int, wm: int, wv: int, ws: int,
         return (jnp.where(mask, new_run, run), mel,
                 jnp.where(mask, new_k, mel_k))
 
-    def kernel(melw, vlcw, msw, p_ref, qhl_ref, vlct, uvlct,
-               dec_out, err_out,
-               state, inf_prev, inf_cur, u_row, scr, newv):
+    def kernel(*refs):
+        if raw:
+            (melw, vlcw, msw, p_ref, qhl_ref, msn_ref, shn_ref,
+             vlct, uvlct, dec_out, err_out,
+             state, inf_prev, inf_cur, u_row, scr, newv) = refs
+        else:
+            (melw, vlcw, msw, p_ref, qhl_ref, vlct, uvlct,
+             dec_out, err_out,
+             state, inf_prev, inf_cur, u_row, scr, newv) = refs
         # grid = (lane tiles, quad rows); rows iterate innermost so the
         # VMEM reader/significance state persists across a tile's rows
         # and re-initializes at each tile's row 0
         r = pl.program_id(1)
         zero = jnp.zeros((S, 128), _U32)
+        if raw:
+            msn = msn_ref[:].astype(jnp.int32)
+            shn = shn_ref[:].astype(jnp.int32)
+
+        def refill_mel(mel, mpb, target: int):
+            if raw:
+                mel, bst = _refill_raw(mel, (mpb, zero), target,
+                                       melw, wm, _RAW_MEL, shn)
+                return mel, bst[0]
+            return _refill_to(mel, target, melw, wm), mpb
+
+        def refill_vlc(vlc, vbst, target: int):
+            if raw:
+                return _refill_raw(vlc, vbst, target, vlcw, wv,
+                                   _RAW_VLC, shn)
+            return _refill_to(vlc, target, vlcw, wv), vbst
+
+        def refill_ms(ms, mbst, target: int):
+            if raw:
+                return _refill_raw(ms, mbst, target, msw, ws,
+                                   _RAW_MS, msn)
+            return _refill_to(ms, target, msw, ws), mbst
 
         @pl.when(r == 0)
         def _init():
@@ -275,7 +440,7 @@ def _make_kernel(qw: int, qh: int, S: int, wm: int, wv: int, ws: int,
             newv[:] = jnp.zeros_like(newv)
             err_out[:] = jnp.zeros_like(err_out)
             # initial refill + first MEL get_run (decoder32.cpp:862)
-            mel = _refill_to(_reader_zero(S), 24, melw, wm)
+            mel, mpb0 = refill_mel(_reader_zero(S), zero, 24)
             zi = jnp.zeros((S, 128), jnp.int32)
             run0, mel, melk0 = mel_get_run(
                 jnp.ones((S, 128), bool), mel, zi, zi)
@@ -285,12 +450,20 @@ def _make_kernel(qw: int, qh: int, S: int, wm: int, wv: int, ws: int,
             state[_MELK] = melk0.astype(_U32)
             state[_RUN] = run0.astype(_U32)
             state[_PVN] = zero
+            if raw:
+                state[_MELPB] = mpb0
 
         initial = r == 0
         mel = ld_reader(state, _MEL0)
         vlc = ld_reader(state, _VLC0)
         mel_k = state[_MELK].astype(jnp.int32)
         run = state[_RUN].astype(jnp.int32)
+        if raw:
+            mel_pb = state[_MELPB]
+            vlc_bst = (state[_VLCPB], state[_VLCPF])
+        else:
+            mel_pb = zero
+            vlc_bst = (zero, zero)
         c_q = zero  # reset per row (row_start in the scan version)
 
         tbl_off = jnp.where(initial, 0, 1024)
@@ -298,11 +471,12 @@ def _make_kernel(qw: int, qh: int, S: int, wm: int, wv: int, ws: int,
 
         # ---------------- step 1: one quad row (VLC/MEL/UVLC) -----------
         def pair_body(pi, carry):
-            vlc, mel, mel_k, run, c_q = carry
+            vlc, mel, mel_k, run, c_q, vpb, vfl, mpb = carry
+            vlc_bst = (vpb, vfl)
             qx2 = pi * 2
             # per-pair worst case: VLC 7+7+15 bits, MEL 3 runs x 6 bits
-            vlc = _refill_to(vlc, 32, vlcw, wv)
-            mel = _refill_to(mel, 18, melw, wm)
+            vlc, vlc_bst = refill_vlc(vlc, vlc_bst, 32)
+            mel, mpb = refill_mel(mel, mpb, 18)
             a0 = inf_prev[pl.ds(qx2, 1)][0]
             a1 = inf_prev[pl.ds(qx2 + 1, 1)][0]
             a2 = inf_prev[pl.ds(qx2 + 2, 1)][0]
@@ -374,18 +548,26 @@ def _make_kernel(qw: int, qh: int, S: int, wm: int, wv: int, ws: int,
             u1 = jnp.where(second, u1, _u32(0))
             u_row[pl.ds(qx2, 1)] = u0[None]
             u_row[pl.ds(qx2 + 1, 1)] = u1[None]
-            return (vlc, mel, mel_k, run, c_q)
+            return (vlc, mel, mel_k, run, c_q,
+                    vlc_bst[0], vlc_bst[1], mpb)
 
-        vlc, mel, mel_k, run, c_q = lax.fori_loop(
-            0, pairs, pair_body, (vlc, mel, mel_k, run, c_q))
+        (vlc, mel, mel_k, run, c_q, vpb, vfl, mpb) = lax.fori_loop(
+            0, pairs, pair_body,
+            (vlc, mel, mel_k, run, c_q, vlc_bst[0], vlc_bst[1],
+             mel_pb))
 
         st_reader(state, _MEL0, mel)
         st_reader(state, _VLC0, vlc)
         state[_MELK] = mel_k.astype(_U32)
         state[_RUN] = run.astype(_U32)
+        if raw:
+            state[_MELPB] = mpb
+            state[_VLCPB] = vpb
+            state[_VLCPF] = vfl
 
         # ---------------- step 2: MagSgn sample fill --------------------
         ms = ld_reader(state, _MS0)
+        ms_bst = (state[_MSPB], state[_MSPF]) if raw else (zero, zero)
         prev_vn = state[_PVN]
         err = err_out[:]
         p = p_ref[:].astype(_U32)
@@ -394,10 +576,10 @@ def _make_kernel(qw: int, qh: int, S: int, wm: int, wv: int, ws: int,
         in_lim = r < qhl
 
         def quad_body(qx, carry):
-            ms, prev_vn, err = carry
+            ms, prev_vn, err, mspb, mspf = carry
             # one adaptive refill covers the quad's 4 samples
             # (4 x up to 31 bits = 124 <= 5-limb capacity)
-            ms = _refill_to(ms, 124, msw, ws)
+            ms, (mspb, mspf) = refill_ms(ms, (mspb, mspf), 124)
             q_inf = inf_cur[pl.ds(qx, 1)][0]
             u_q = u_row[pl.ds(qx, 1)][0]
             gamma = q_inf & _u32(0xF0)
@@ -443,12 +625,15 @@ def _make_kernel(qw: int, qh: int, S: int, wm: int, wv: int, ws: int,
             dec_out[0, pl.ds(qx * 4 + 1, 1)] = vals[1][None]
             dec_out[0, pl.ds(qx * 4 + 2, 1)] = vals[2][None]
             dec_out[0, pl.ds(qx * 4 + 3, 1)] = vals[3][None]
-            return (ms, prev_vn, err)
+            return (ms, prev_vn, err, mspb, mspf)
 
-        ms, prev_vn, err = lax.fori_loop(0, qw, quad_body,
-                                         (ms, prev_vn, err))
+        ms, prev_vn, err, mspb, mspf = lax.fori_loop(
+            0, qw, quad_body, (ms, prev_vn, err, ms_bst[0], ms_bst[1]))
         err_out[:] = err
         st_reader(state, _MS0, ms)
+        if raw:
+            state[_MSPB] = mspb
+            state[_MSPF] = mspf
 
         # rotate rows: inf_prev <- inf_cur, scr <- newv (+ tail), clear
         newv[pl.ds(qw, 1)] = prev_vn[None]
@@ -498,10 +683,12 @@ def _lane_tile(S: int, qw: int, wm: int, wv: int, ws: int) -> int:
     return max(8, (sb_max // 8) * 8)
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7))
-def _run_pallas(melw, vlcw, msw, p, qhl, dims, nlanes,
+@partial(jax.jit, static_argnums=(7, 8, 9))
+def _run_pallas(melw, vlcw, msw, p, qhl, msn, shn, dims, nlanes,
                 interpret=False):
-    """melw.. [N, W] u32; p, qhl [N] i32; dims=(qw,qh,width); nlanes=N."""
+    """melw.. [N, W] u32; p, qhl [N] i32; dims=(qw,qh,width);
+    nlanes=N.  msn/shn non-None selects the raw (in-kernel unstuff)
+    reader mode."""
     qw, qh, width = dims
     S0 = nlanes // 128
     ones = np.uint32(0xFFFFFFFF)
@@ -531,7 +718,11 @@ def _run_pallas(melw, vlcw, msw, p, qhl, dims, nlanes,
         qhl = jnp.pad(qhl, (0, padl))  # qhl 0: no error reporting
     n_sb = S // SB
 
-    kern = _make_kernel(qw, qh, SB, wm, wv, ws, width)
+    raw = msn is not None
+    if raw:
+        msn = jnp.pad(msn, (0, S * 128 - nlanes))
+        shn = jnp.pad(shn, (0, S * 128 - nlanes))
+    kern = _make_kernel(qw, qh, SB, wm, wv, ws, width, raw=raw)
 
     vlct, uvlct = _tables_chunks()
 
@@ -543,15 +734,25 @@ def _run_pallas(melw, vlcw, msw, p, qhl, dims, nlanes,
     strm3 = lambda sb, r: (0, sb, 0)
     lane2 = lambda sb, r: (sb, 0)
     const2 = lambda sb, r: (0, 0)
+    lane_in = [jnp.asarray(melw), jnp.asarray(vlcw), jnp.asarray(msw),
+               p.reshape(S, 128), qhl.reshape(S, 128)]
+    lane_specs = [
+        pl.BlockSpec((wm, SB, 128), strm3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((wv, SB, 128), strm3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((ws, SB, 128), strm3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((SB, 128), lane2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((SB, 128), lane2, memory_space=pltpu.VMEM),
+    ]
+    if raw:
+        lane_in += [msn.reshape(S, 128), shn.reshape(S, 128)]
+        lane_specs += [
+            pl.BlockSpec((SB, 128), lane2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((SB, 128), lane2, memory_space=pltpu.VMEM),
+        ]
     dec, err = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((wm, SB, 128), strm3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((wv, SB, 128), strm3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ws, SB, 128), strm3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((SB, 128), lane2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((SB, 128), lane2, memory_space=pltpu.VMEM),
+        in_specs=lane_specs + [
             pl.BlockSpec((16, 128), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((6, 128), const2, memory_space=pltpu.VMEM),
         ],
@@ -569,15 +770,16 @@ def _run_pallas(melw, vlcw, msw, p, qhl, dims, nlanes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         scratch_shapes=[
-            pltpu.VMEM((24, SB, 128), jnp.uint32),      # reader state
+            pltpu.VMEM((_STATE_ROWS_RAW if raw else _STATE_ROWS,
+                        SB, 128), jnp.uint32),           # reader state
             pltpu.VMEM((qw2 + 3, SB, 128), jnp.uint32),  # inf_prev
             pltpu.VMEM((qw2 + 3, SB, 128), jnp.uint32),  # inf_cur
             pltpu.VMEM((qw2, SB, 128), jnp.uint32),      # u_row
             pltpu.VMEM((qw + 2, SB, 128), jnp.uint32),   # scr
             pltpu.VMEM((qw + 2, SB, 128), jnp.uint32),   # newv
         ],
-    )(tr(melw), tr(vlcw), tr(msw),
-      p.reshape(S, 128), qhl.reshape(S, 128), vlct, uvlct)
+    )(tr(lane_in[0]), tr(lane_in[1]), tr(lane_in[2]),
+      *lane_in[3:], vlct, uvlct)
 
     # (qh, qw*4, S, 128) -> [N, 2qh, 2qw]; sample n = dx*2 + dy
     d = dec.reshape(qh, qw, 2, 2, S * 128)       # (r, qx, dx, dy, lane)
@@ -601,5 +803,33 @@ def decode_cleanup_pallas(melw, vlcw, msw, p, width: int, height: int,
     dec, err = _run_pallas(melw, vlcw, msw,
                            jnp.asarray(p, jnp.int32),
                            jnp.asarray(qh_lim, jnp.int32),
+                           None, None,
+                           (qw, qh, width), n, interpret)
+    return dec[:, :height, :width], err
+
+
+def decode_cleanup_pallas_raw(melw, vlcw, msw, p, width: int,
+                              height: int, qh_lim, msn, shn,
+                              interpret: bool = False):
+    """Raw-bytes variant: the word planes carry each lane's STUFFED
+    bytes (MagSgn prefix forward; the MEL/VLC shared suffix forward /
+    reversed — unstuff._lane_words_fwd/_rev views) and the kernel
+    unstuffs on the fly in its readers, like the reference's
+    dec_mel_st/rev_struct/frwd_struct32 (ojph_block_decoder32.cpp:
+    63-723).  msn / shn: per-lane byte counts of the MagSgn prefix
+    and the shared suffix.  Replaces the separate XLA unstuff stage
+    for single-pass streams (same throughput on v5e — the window
+    fetch, shared by both, dominates — but no dense intermediates in
+    HBM; see pipeline._raw_t1)."""
+    n = melw.shape[0]
+    qw = (width + 1) >> 1
+    qh = (height + 1) >> 1
+    if qh_lim is None:
+        qh_lim = jnp.full((n,), qh, jnp.int32)
+    dec, err = _run_pallas(melw, vlcw, msw,
+                           jnp.asarray(p, jnp.int32),
+                           jnp.asarray(qh_lim, jnp.int32),
+                           jnp.asarray(msn, jnp.int32),
+                           jnp.asarray(shn, jnp.int32),
                            (qw, qh, width), n, interpret)
     return dec[:, :height, :width], err

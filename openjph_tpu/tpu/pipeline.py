@@ -74,6 +74,25 @@ def _device_unstuff() -> bool:
             _DEVICE_UNSTUFF = jax.default_backend() != 'cpu'
     return _DEVICE_UNSTUFF
 
+
+_RAW_T1: Optional[bool] = None
+
+
+def _raw_t1() -> bool:
+    """Feed the Tier-1 Pallas kernel RAW stuffed bytes and unstuff in
+    its readers (block_decode_pallas raw mode) instead of running the
+    XLA unstuff stage.  Measured on v5e (config-1 burst): parity with
+    the XLA stage (~530 MP/s both) — the shared cost is the per-lane
+    window fetch, not the unstuff arithmetic — but the raw path drops
+    the dense intermediate planes from HBM and shortens the graph.
+    Single-pass groups only; OJTPU_RAW_T1=0 opts out (falls back to
+    the XLA unstuff + dense kernel)."""
+    global _RAW_T1
+    if _RAW_T1 is None:
+        _RAW_T1 = os.environ.get('OJTPU_RAW_T1', '1') != '0'
+    return _RAW_T1
+
+
 _MAX_BATCH = 4096
 
 
@@ -625,7 +644,24 @@ def _make_runner(plan: _Plan, nframes: int = 1, shard=None,
             mg = meta[:, s0:s0 + npad].reshape(F * npad, 8)
 
             wm, wv_, ws_ = wordss[i]
-            if device_unstuff:
+            raw_t1 = (device_unstuff and use_pallas
+                      and rwordss[i][0] == 0 and _raw_t1())
+            if raw_t1:
+                # in-kernel unstuffing: ship the RAW stuffed windows
+                # straight to the Tier-1 kernel (its readers unstuff
+                # on the fly like the reference's
+                # dec_mel_st/rev_struct/frwd_struct32); the XLA
+                # unstuff stage below disappears entirely (see
+                # _raw_t1 for the measured economics)
+                from .unstuff import _lane_words_fwd, _lane_words_rev
+                lane_off = mg[:, 0]
+                ms_n = mg[:, 1]
+                sh_n = mg[:, 2]
+                ms = _lane_words_fwd(words, lane_off, ws_)
+                mel = _lane_words_fwd(words, lane_off + ms_n, wm)
+                vlc = _lane_words_rev(words, lane_off + ms_n, sh_n,
+                                      wv_)
+            elif device_unstuff:
                 # words is the raw segment blob (uint32 view);
                 # rebuild the dense windows on-device (meta columns:
                 # lane_off, ms_n, sh_n, 0, 0, 0, p, qhl)
@@ -655,7 +691,12 @@ def _make_runner(plan: _Plan, nframes: int = 1, shard=None,
                 ms = unpack(4, 5, ws_, 0xFFFFFFFF)
             p = mg[:, 6]
             qhl = mg[:, 7]
-            if use_pallas:
+            if raw_t1:
+                from .block_decode_pallas import \
+                    decode_cleanup_pallas_raw
+                d, e = decode_cleanup_pallas_raw(mel, vlc, ms, p, w, h,
+                                                 qhl, ms_n, sh_n)
+            elif use_pallas:
                 d, e = decode_cleanup_pallas(mel, vlc, ms, p, w, h, qhl)
             else:
                 d, e = decode_cleanup_core(mel, vlc, ms, p, w, h, qhl)
