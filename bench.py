@@ -217,10 +217,14 @@ def bench_decode_device_only(stream_sets, base_dec_mps):
     graph (on-device unstuff -> Tier-1 -> dequant -> DWT -> color) is
     timed alone.  Baseline = ojph_expand's host decode alone.
 
-    Every rep decodes a DIFFERENT burst and every in-flight output is
-    awaited: the tunnel backend dedups repeated identical executions,
-    so timing the same arguments in a loop reports fantasy numbers."""
+    Every rep decodes a DIFFERENT burst and every rep's (small)
+    Tier-1 error plane is FETCHED inside the timed window: the
+    tunnel backend dedups repeated identical executions AND its
+    jax.block_until_ready is asynchronous, so anything less reports
+    fantasy numbers."""
     import jax
+    import numpy as np
+    from concurrent.futures import ThreadPoolExecutor
     from openjph_tpu.tpu.pipeline import (TpuDecoder, _build_plan,
                                           _make_runner, _pack_auto)
     runner = None
@@ -234,18 +238,21 @@ def bench_decode_device_only(stream_sets, base_dec_mps):
             runner = _make_runner(plans[0], NFRAMES,
                                   device_unstuff=mode)
         dargs_sets.append(tuple(jax.device_put(a) for a in args))
-    jax.block_until_ready(runner(*dargs_sets[0]))  # compile + warm
+    np.asarray(runner(*dargs_sets[0])[0])  # compile + warm + sync
     vals = []
-    for r in range(ROUNDS2):
-        reps = 4
-        outs = []
-        t0 = time.perf_counter()
-        for i in range(reps):
-            outs.append(runner(*dargs_sets[(r * reps + i)
-                                           % len(dargs_sets)]))
-        jax.block_until_ready(outs)
-        vals.append(MP * reps / (time.perf_counter() - t0))
-        _dbg(f'  dev-only dec r{r}: {vals[-1]:.1f} MP/s')
+    with ThreadPoolExecutor(4) as pool:
+        for r in range(ROUNDS2):
+            reps = 4
+            outs = []
+            t0 = time.perf_counter()
+            for i in range(reps):
+                outs.append(runner(*dargs_sets[(r * reps + i)
+                                               % len(dargs_sets)]))
+            # err planes are tiny; fetching them forces every rep's
+            # execution to really finish
+            list(pool.map(lambda o: np.asarray(o[0]), outs))
+            vals.append(MP * reps / (time.perf_counter() - t0))
+            _dbg(f'  dev-only dec r{r}: {vals[-1]:.1f} MP/s')
     ratios = [v / base_dec_mps for v in vals] if base_dec_mps else []
     return vals, ratios
 
@@ -332,17 +339,23 @@ def bench_encode_device_only(frame_sets, base_enc_mps):
     dstacks = [jax.device_put(np.stack(
         [_narrow_tile_plane(enc.siz, geom, 0, normalize_planes(f)[0])
          for f in frames])) for frames in frame_sets]
-    jax.block_until_ready(runner(dstacks[0]))
+    np.asarray(runner(dstacks[0])[1])   # compile + warm + sync
+    from concurrent.futures import ThreadPoolExecutor
     vals = []
-    for r in range(ROUNDS2):
-        reps = 4
-        outs = []
-        t0 = time.perf_counter()
-        for i in range(reps):
-            outs.append(runner(dstacks[(r * reps + i) % len(dstacks)]))
-        jax.block_until_ready(outs)
-        vals.append(MP * reps / (time.perf_counter() - t0))
-        _dbg(f'  dev-only enc r{r}: {vals[-1]:.1f} MP/s')
+    with ThreadPoolExecutor(4) as pool:
+        for r in range(ROUNDS2):
+            reps = 4
+            outs = []
+            t0 = time.perf_counter()
+            for i in range(reps):
+                outs.append(runner(dstacks[(r * reps + i)
+                                           % len(dstacks)]))
+            # the aux plane (bit counts/flags, ~100 KB) forces real
+            # completion — block_until_ready is asynchronous on the
+            # tunneled backend
+            list(pool.map(lambda o: np.asarray(o[1]), outs))
+            vals.append(MP * reps / (time.perf_counter() - t0))
+            _dbg(f'  dev-only enc r{r}: {vals[-1]:.1f} MP/s')
     ratios = [v / base_enc_mps for v in vals] if base_enc_mps else []
     return vals, ratios
 
@@ -441,6 +454,7 @@ def bench_config34_device_only():
                  + rng.normal(0, 40, (2160, 4096))) for v in range(n)]
 
     def timed(streams, mp, metric, reps=4):
+        from concurrent.futures import ThreadPoolExecutor
         runner = None
         dargs_sets = []
         for stream in streams:
@@ -452,17 +466,19 @@ def bench_config34_device_only():
             if runner is None:
                 runner = _make_runner(plan, 1, device_unstuff=mode)
             dargs_sets.append(tuple(jax.device_put(a) for a in args))
-        jax.block_until_ready(runner(*dargs_sets[0]))
+        np.asarray(runner(*dargs_sets[0])[0])  # warm + real sync
         vals = []
-        for r in range(ROUNDS2):
-            outs = []
-            t0 = time.perf_counter()
-            for i in range(reps):
-                outs.append(runner(*dargs_sets[(r * reps + i)
-                                               % len(dargs_sets)]))
-            jax.block_until_ready(outs)
-            vals.append(mp * reps / (time.perf_counter() - t0))
-            _dbg(f'  {metric} r{r}: {vals[-1]:.1f} MP/s')
+        with ThreadPoolExecutor(4) as pool:
+            for r in range(ROUNDS2):
+                outs = []
+                t0 = time.perf_counter()
+                for i in range(reps):
+                    outs.append(runner(*dargs_sets[(r * reps + i)
+                                                   % len(dargs_sets)]))
+                # small err-plane fetches force real completion
+                list(pool.map(lambda o: np.asarray(o[0]), outs))
+                vals.append(mp * reps / (time.perf_counter() - t0))
+                _dbg(f'  {metric} r{r}: {vals[-1]:.1f} MP/s')
         _emit(metric, vals, [])
 
     bases = variants()

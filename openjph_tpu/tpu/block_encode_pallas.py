@@ -149,6 +149,66 @@ def _maybe_flush(st, out_ref, nwords: int):
     return lax.cond(jnp.any(st[_NLIMB] >= 96), yes, lambda s: s, st)
 
 
+def _flush_many(st, out_ref, nwords: int, npop: int):
+    """Pop up to ``npop`` completed words per lane in ONE page pass.
+
+    The per-word flush costs a masked page read-modify-write each; a
+    stream that appends >32 bits between flush points (MagSgn: up to
+    124 per quad) pays it per word.  Batching the pops writes rows
+    [wi, wi+kpop) in the same page pass with one extra select per
+    extra word — measured ~2x fewer vector ops and (with the batched
+    call sites) ~4x fewer lax.cond gates per pair."""
+    w = list(st[:_NLIMB])
+    nb, wi, ovf = st[_NLIMB], st[_NLIMB + 1], st[_NLIMB + 2]
+    kpop = jnp.minimum(nb >> 5, npop)
+    doit = kpop > 0
+    ovf = ovf | jnp.where(doit & (wi + kpop > nwords), _u32(1),
+                          _u32(0))
+    wic = jnp.minimum(wi, nwords - 1)
+    kc = jnp.minimum(kpop, nwords - wic)   # clamp writes in bounds
+
+    def write_rows(rows, base):
+        iota = lax.broadcasted_iota(
+            jnp.int32, rows.shape, 0) + base
+        rel = iota - wic[None]
+        val = rows
+        for j in range(npop):
+            mj = (rel == j) & (kc[None] > j) & doit[None]
+            val = jnp.where(mj, w[j][None], val)
+        return val
+
+    if nwords <= _PAGE or nwords % _PAGE:
+        out_ref[:] = write_rows(out_ref[:], 0)
+    else:
+        pmin = jnp.min(jnp.where(doit, wic, nwords - 1)) // _PAGE
+        pmax = jnp.max(jnp.where(doit, wic + kc - 1, 0)) // _PAGE
+
+        def body(pg, carry):
+            rows = out_ref[pl.ds(pg * _PAGE, _PAGE)]
+            out_ref[pl.ds(pg * _PAGE, _PAGE)] = \
+                write_rows(rows, pg * _PAGE)
+            return carry
+
+        lax.fori_loop(pmin, pmax + 1, body, 0)
+    neww = []
+    for k in range(_NLIMB):
+        x = w[k]
+        for j in range(1, npop + 1):
+            src = w[k + j] if k + j < _NLIMB else jnp.zeros_like(x)
+            x = jnp.where(kpop == j, src, x)
+        neww.append(x)
+    return (*neww, nb - (kpop << 5), wi + kpop, ovf)
+
+
+def _flush_burst(st, out_ref, nwords: int, npop: int):
+    """Conditional batched flush at a call-site boundary (end of a
+    quad's MagSgn run / end of a pair's VLC+MEL emission)."""
+    def yes(s):
+        return _flush_many(s, out_ref, nwords, npop)
+
+    return lax.cond(jnp.any(st[_NLIMB] >= 32), yes, lambda s: s, st)
+
+
 def _drain(st, out_ref, nwords: int):
     """Flush everything including a partial last word (end of block)."""
     for _ in range(_NLIMB):
@@ -202,7 +262,7 @@ def _make_kernel(qw: int, qh: int, S: int, wp: int,
         state[base + 6] = st[6].astype(_U32)
         state[base + 7] = st[7]
 
-    def kernel(buf, p_ref, vlct, uvt,
+    def kernel(buf, p_ref, qhl_ref, vlct, uvt,
                melw, vlcw, msw, meta_out,
                state, e_val, cx_val):
         # grid = (lane tiles, quad rows); rows innermost, state
@@ -210,6 +270,11 @@ def _make_kernel(qw: int, qh: int, S: int, wp: int,
         r = pl.program_id(1)
         zero = jnp.zeros((S, 128), _U32)
         zi = jnp.zeros((S, 128), jnp.int32)
+        # per-lane quad-height limit (decode kernel's qhl, mirrored):
+        # lanes whose block is shorter than the group height stop
+        # emitting past their own rows, so one kernel covers every
+        # height of a width class (height-merged groups)
+        live = r < qhl_ref[:].astype(jnp.int32)
 
         @pl.when(r == 0)
         def _init():
@@ -360,12 +425,11 @@ def _make_kernel(qw: int, qh: int, S: int, wp: int,
                 .astype(jnp.int32)
             tuple0 = _tbl_lookup(vlct, idx0, 32)
             vlc = _append(vlc, tuple0 >> _u32(8),
-                          ((tuple0 >> _u32(4)) & _u32(7))
-                          .astype(jnp.int32))
-            vlc = _maybe_flush(vlc, vlcw, wv)
-            mel, mrun, mk = mel_event(c_q == 0, rho0 != 0, mel,
-                                      mrun, mk)
-            mel = _maybe_flush(mel, melw, wm)
+                          jnp.where(live,
+                                    (tuple0 >> _u32(4)) & _u32(7),
+                                    _u32(0)).astype(jnp.int32))
+            mel, mrun, mk = mel_event(live & (c_q == 0), rho0 != 0,
+                                      mel, mrun, mk)
             for k in range(4):
                 m = jnp.where(((rho0 >> _u32(k)) & _u32(1)) != 0,
                               (Uq0.astype(_U32)
@@ -373,8 +437,10 @@ def _make_kernel(qw: int, qh: int, S: int, wp: int,
                               _u32(0))
                 m = lax.bitcast_convert_type(
                     jnp.minimum(m.astype(jnp.int32), 31), _U32)
+                m = jnp.where(live, m, _u32(0))
                 ms = _append(ms, ss[k], m.astype(jnp.int32))
-                ms = _maybe_flush(ms, msw, ws)
+            # one batched flush covers the quad's <=124 appended bits
+            ms = _flush_burst(ms, msw, ws, 4)
 
             # ---- quad 1 ----
             c_q1 = jnp.where(
@@ -409,13 +475,11 @@ def _make_kernel(qw: int, qh: int, S: int, wp: int,
                 .astype(jnp.int32)
             tuple1 = _tbl_lookup(vlct, idx1, 32)
             vlc = _append(vlc, tuple1 >> _u32(8),
-                          jnp.where(second,
+                          jnp.where(live & second,
                                     (tuple1 >> _u32(4)) & _u32(7),
                                     _u32(0)).astype(jnp.int32))
-            vlc = _maybe_flush(vlc, vlcw, wv)
-            mel, mrun, mk = mel_event(second & (c_q1 == 0),
+            mel, mrun, mk = mel_event(live & second & (c_q1 == 0),
                                       rho1 != 0, mel, mrun, mk)
-            mel = _maybe_flush(mel, melw, wm)
             for k in range(4):
                 m = jnp.where(((rho1 >> _u32(k)) & _u32(1)) != 0,
                               (Uq1.astype(_U32)
@@ -423,9 +487,9 @@ def _make_kernel(qw: int, qh: int, S: int, wp: int,
                               _u32(0))
                 m = lax.bitcast_convert_type(
                     jnp.minimum(m.astype(jnp.int32), 31), _U32)
-                m = jnp.where(second, m, _u32(0))
+                m = jnp.where(live & second, m, _u32(0))
                 ms = _append(ms, ss[4 + k], m.astype(jnp.int32))
-                ms = _maybe_flush(ms, msw, ws)
+            ms = _flush_burst(ms, msw, ws, 4)
 
             # state written by quad1 only when it exists
             e_val[pl.ds(le + 1, 1)] = jnp.where(
@@ -443,11 +507,10 @@ def _make_kernel(qw: int, qh: int, S: int, wp: int,
             max_e = jnp.where(second, max_e2, max_e)
 
             # ---- u codes ----
-            melu_present = init & (u_q0 > 0) & (u_q1 > 0)
+            melu_present = live & init & (u_q0 > 0) & (u_q1 > 0)
             melu_bit = jnp.minimum(u_q0, u_q1) > 2
             mel, mrun, mk = mel_event(melu_present, melu_bit, mel,
                                       mrun, mk)
-            mel = _maybe_flush(mel, melw, wm)
             p0a, l0a, s0a, sl0a = uvlc_gather(u_q0 - 2)
             p1a, l1a, s1a, sl1a = uvlc_gather(u_q1 - 2)
             p0b, l0b, s0b, sl0b = uvlc_gather(u_q0)
@@ -467,8 +530,14 @@ def _make_kernel(qw: int, qh: int, S: int, wp: int,
             L5 = jnp.where(caseA, sl1a,
                            jnp.where(caseB, _u32(0), sl1b))
             for cw, ll in ((c2, L2), (c3, L3), (c4, L4), (c5, L5)):
-                vlc = _append(vlc, cw, ll.astype(jnp.int32))
-                vlc = _maybe_flush(vlc, vlcw, wv)
+                vlc = _append(vlc, cw,
+                              jnp.where(live, ll, _u32(0))
+                              .astype(jnp.int32))
+            # one batched flush per pair drains VLC (<=40 bits/pair)
+            # and MEL (<=18): residuals stay well under the 160-bit
+            # window (see _flush_many)
+            vlc = _flush_burst(vlc, vlcw, wv, 2)
+            mel = _flush_burst(mel, melw, wm, 1)
 
             # next pair's context
             c_q = jnp.where(
@@ -537,7 +606,7 @@ def _lane_tile(S: int, qw: int, wp: int, wm: int, wv: int,
     the tile is S itself when it fits, else a multiple of 8 (the
     caller pads S up to a tile multiple)."""
     qw2 = ((qw + 1) // 2) * 2
-    io_rows = 2 * wp + 1 + (wm + wv + ws + 4)        # double-buffered
+    io_rows = 2 * wp + 2 + (wm + wv + ws + 4)        # double-buffered
     scratch_rows = 28 + 2 * (2 * qw2 + 4)
     per_sb = (2 * io_rows + scratch_rows) * 128 * 4
     sb_max = max(1, _VMEM_BUDGET // per_sb)
@@ -546,12 +615,15 @@ def _lane_tile(S: int, qw: int, wp: int, wm: int, wv: int,
     return max(8, (sb_max // 8) * 8)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def _run_encode_pallas(buf, p, dims, caps, nlanes, interpret=False):
+@partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _run_encode_pallas(buf, p, qhl, dims, caps, nlanes,
+                       interpret=False):
     """buf [N, hp, wp] u32 sign-magnitude (padded); p [N] int32
-    (= 31 - kmax); dims = (qw, qh, wp); caps = (wm, wv, ws) output
-    word-plane heights.  Returns (melw, vlcw, msw [N, W*],
-    bits [N, 3] int32, ovf [N] bool)."""
+    (= 31 - kmax); qhl [N] int32 per-lane quad-height limit (lanes
+    stop emitting past their own rows — height-merged groups);
+    dims = (qw, qh, wp); caps = (wm, wv, ws) output word-plane
+    heights.  Returns (melw, vlcw, msw [N, W*], bits [N, 3] int32,
+    ovf [N] bool)."""
     qw, qh, wp = dims
     wm, wv, ws = caps
     S0 = nlanes // 128
@@ -562,6 +634,7 @@ def _run_encode_pallas(buf, p, dims, caps, nlanes, interpret=False):
         # zero samples: padded lanes encode as empty blocks
         buf = jnp.pad(buf, ((0, padl), (0, 0), (0, 0)))
         p = jnp.pad(p, (0, padl), constant_values=8)
+        qhl = jnp.pad(qhl, (0, padl))   # qhl 0: no emission at all
     n_sb = S // SB
 
     kern = _make_kernel(qw, qh, SB, wp, wm, wv, ws)
@@ -581,6 +654,7 @@ def _run_encode_pallas(buf, p, dims, caps, nlanes, interpret=False):
         in_specs=[
             pl.BlockSpec((2, wp, SB, 128), lambda sb, r: (r, 0, sb, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((SB, 128), lane2, memory_space=pltpu.VMEM),
             pl.BlockSpec((SB, 128), lane2, memory_space=pltpu.VMEM),
             pl.BlockSpec((32, 128), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((4, 128), const2, memory_space=pltpu.VMEM),
@@ -607,28 +681,54 @@ def _run_encode_pallas(buf, p, dims, caps, nlanes, interpret=False):
             pltpu.VMEM((2 * ((qw + 1) // 2) * 2 + 4, SB, 128),
                        jnp.uint32),                      # cx_val rows
         ],
-    )(b, p.reshape(S, 128), vlct, uvt)
+    )(b, p.reshape(S, 128), qhl.reshape(S, 128), vlct, uvt)
 
-    def back(w):
-        return w.transpose(1, 2, 0).reshape(S * 128, w.shape[0])[:nlanes]
-
+    # ONE lane-major detranspose for all three streams: each
+    # major->minor transpose dispatch costs ~75 ms flat on the v5e
+    # regardless of volume, so the planes are concatenated on the
+    # word axis first (lane l's words live at [l*wtot + off_s,
+    # l*wtot + off_s + cap_s) of the flat view)
+    cat = jnp.concatenate([melw, vlcw, msw], axis=0)
+    catb = cat.transpose(1, 2, 0).reshape(S * 128, wm + wv + ws) \
+        [:nlanes]
     bits = meta[:3].transpose(1, 2, 0).reshape(S * 128, 3) \
         .astype(jnp.int32)[:nlanes]
     ovf = meta[3].reshape(S * 128)[:nlanes] != 0
-    return back(melw), back(vlcw), back(msw), bits, ovf
+    return catb, bits, ovf
 
 
-def encode_cleanup_pallas(buf, p, width: int, height: int,
-                          caps, interpret: bool = False):
-    """Encode N same-shape blocks into dense unstuffed bit streams.
+def encode_cleanup_pallas_cat(buf, p, width: int, height: int,
+                              caps, qhl=None,
+                              interpret: bool = False):
+    """Encode N same-shape blocks into dense unstuffed bit streams,
+    returned as ONE concatenated word plane.
 
     buf [N, hp, wp] uint32 sign-magnitude; p = 31 - kmax [N].
     caps = (wm, wv, ws) static word caps (overflowing lanes are
-    flagged for scalar fallback).  Returns (melw, vlcw, msw word rows
-    [N, W*], bits [N, 3], ovf [N])."""
+    flagged for scalar fallback).  qhl: optional [N] per-lane quad
+    height ((h_true+1)//2) for height-merged groups; None = every
+    lane is full height.  Returns (cat [N, wm+wv+ws] — lane rows
+    holding the MEL words at [0, wm), VLC at [wm, wm+wv), MagSgn at
+    [wm+wv, wm+wv+ws) — bits [N, 3], ovf [N])."""
     n = buf.shape[0]
     qw = (width + 1) >> 1
     qh = (height + 1) >> 1
+    if qhl is None:
+        qhl = jnp.full((n,), qh, jnp.int32)
     return _run_encode_pallas(buf, jnp.asarray(p, jnp.int32),
+                              jnp.asarray(qhl, jnp.int32),
                               (qw, qh, buf.shape[2]), tuple(caps), n,
                               interpret)
+
+
+def encode_cleanup_pallas(buf, p, width: int, height: int,
+                          caps, qhl=None, interpret: bool = False):
+    """Per-stream-plane view of :func:`encode_cleanup_pallas_cat`:
+    returns (melw, vlcw, msw word rows [N, W*], bits [N, 3],
+    ovf [N]).  The pipeline uses the _cat variant (one detranspose);
+    this split keeps the historical kernel API for tests/tools."""
+    wm, wv, ws = caps
+    cat, bits, ovf = encode_cleanup_pallas_cat(
+        buf, p, width, height, caps, qhl=qhl, interpret=interpret)
+    return (cat[:, :wm], cat[:, wm:wm + wv], cat[:, wm + wv:],
+            bits, ovf)

@@ -87,10 +87,12 @@ class _EncPlan:
     bands: List[tuple]
     comps: List[tuple]  # per comp: (reversible, bd, sgn, nlt3, res specs)
     mct: bool
-    # True when the runner should use the lax.scan Tier-1 (height-
-    # merged width groups) even on a pallas backend: odd tile grids
-    # produce dozens of distinct (w, h) classes and the pallas
-    # kernel's static quad-row count would compile one kernel each
+    # groups are height-merged width classes on every backend: the
+    # pallas kernel gates emission with a per-lane quad-height limit
+    # (its qhl input, mirroring the decode kernel), so one kernel per
+    # WIDTH covers every block height — no per-(w, h) kernel blowup
+    # on odd tile grids.  use_scan is retained for the non-pallas
+    # Tier-1 (encode_cleanup_core) only.
     use_scan: bool = False
 
 
@@ -101,15 +103,10 @@ class TpuEncoder(Encoder):
     """Encoder whose DWT + Tier-1 run on the accelerator; falls back
     to the scalar Encoder path when the plan can't cover the stream."""
 
-    # above this many (w, h) block classes the pallas path would
-    # compile one kernel per class; the scan path height-merges
-    _MAX_PALLAS_GROUPS = 12
-
     def _build_enc_plan(self, geom,
                         force_scan: bool = False) -> Optional[_EncPlan]:
         if getattr(self, 'ht_passes', 1) != 1:
             return None  # SigProp/MagRef emission: scalar host path
-        use_pallas_groups = _use_pallas() and not force_scan
         groups: Dict[int, _EncGroup] = {}
         bands: List[tuple] = []
         comps = []
@@ -134,18 +131,14 @@ class TpuEncoder(Encoder):
                     bids.append(bid)
                     run = None  # (lane0, ncols, h_true, y0, x0)
                     for bi, g in enumerate(sb.blocks):
-                        # scan path: group by width only — shorter
-                        # lanes pad with zero rows and the host packer
-                        # consumes only pairs_real steps per lane
-                        # (block_encode.py), so one trace covers every
-                        # height (odd tile grids produce dozens of
-                        # distinct heights; per-(w,h) tracing made
-                        # them pathologically slow to compile).
-                        # pallas path: keep (w, h) groups — its dense
-                        # in-kernel packing runs a static quad-row
-                        # count per kernel
-                        gk = (g.rect.w, g.rect.h) if use_pallas_groups \
-                            else g.rect.w
+                        # group by width only on every backend:
+                        # shorter lanes pad with zero rows; the scan
+                        # path's host packer consumes pairs_real
+                        # steps per lane, and the pallas kernel gates
+                        # emission with its per-lane qhl input, so
+                        # one trace/kernel covers every height (odd
+                        # tile grids produce dozens of heights)
+                        gk = g.rect.w
                         grp = groups.get(gk)
                         if grp is None:
                             grp = _EncGroup(len(groups), g.rect.w)
@@ -211,11 +204,6 @@ class TpuEncoder(Encoder):
                       _ebucket(qh * pairs * 34 // 32 + 2),
                       _ebucket(qw * qh * 4 * (kx + 1) // 32 + 2))
             g.n_pad = -(-len(g.lanes) // 128) * 128
-        if use_pallas_groups and len(glist) > self._MAX_PALLAS_GROUPS:
-            # odd geometry: rebuild with height-merged width groups
-            # and run the scan Tier-1 instead of one pallas kernel
-            # per (w, h) class
-            return self._build_enc_plan(geom, force_scan=True)
         key = (tuple((g.gid, g.w, g.h, len(g.lanes), tuple(g.strips),
                       tuple(g.p), g.caps) for g in glist),
                tuple(bands), tuple(comps), mct, force_scan)
@@ -235,7 +223,7 @@ class TpuEncoder(Encoder):
         F = nframes
         use_pallas = _use_pallas() and not plan.use_scan
         if use_pallas:
-            from .block_encode_pallas import encode_cleanup_pallas
+            from .block_encode_pallas import encode_cleanup_pallas_cat
 
         def run(*planes):
             # conversion + MCT (inputs arrive in their narrow upload
@@ -336,9 +324,14 @@ class TpuEncoder(Encoder):
                     pp = jnp.asarray(np.tile(np.pad(
                         np.array(g.p, np.int32), (0, pad),
                         mode='edge'), F))
-                    melw, vlcw, msw, bits, ovf = encode_cleanup_pallas(
-                        bufp, pp, g.w, g.h, g.caps)
-                    outs.append((melw, vlcw, msw, bits, nz, ovf))
+                    # per-lane quad-height limit: padding lanes get 0
+                    # (no emission), short blocks stop at their rows
+                    qhl = jnp.asarray(np.tile(np.pad(np.array(
+                        [(h_t + 1) // 2 for (_, _, h_t) in g.lanes],
+                        np.int32), (0, pad)), F))
+                    cat, bits, ovf = encode_cleanup_pallas_cat(
+                        bufp, pp, g.w, g.h, g.caps, qhl=qhl)
+                    outs.append((cat, bits, nz, ovf))
                 else:
                     p = jnp.asarray(np.tile(np.array(g.p, np.int32), F))
                     mel_e, vlc_c, vlc_l, ms_v, ms_l = \
@@ -349,11 +342,11 @@ class TpuEncoder(Encoder):
                 # one small aux buffer -> one host fetch (the link is
                 # latency-dominated)
                 aux = jnp.concatenate(
-                    [o[3].reshape(-1) for o in outs]
-                    + [o[4].reshape(-1).astype(jnp.int32) for o in outs]
-                    + [o[5].reshape(-1).astype(jnp.int32)
+                    [o[1].reshape(-1) for o in outs]
+                    + [o[2].reshape(-1).astype(jnp.int32) for o in outs]
+                    + [o[3].reshape(-1).astype(jnp.int32)
                        for o in outs])
-                return tuple(o[:3] for o in outs), aux
+                return tuple(o[0] for o in outs), aux
             return tuple(outs)
 
         return jax.jit(run)
@@ -446,20 +439,22 @@ class TpuEncoder(Encoder):
         sb_l = []
         base = 0
         for gi, g in enumerate(plan.groups):
-            melw, vlcw, msw = group_planes[gi]
+            cat = group_planes[gi]     # (nl, wm+wv+ws) lane rows
             bits = bits_all[gi]
             nl = F * g.n_pad
-            caps = np.asarray(g.caps, np.int64)
-            stream_bases = np.empty(3, np.int64)
-            for si, arr in enumerate((melw, vlcw, msw)):
-                planes.append(arr)
-                stream_bases[si] = base
-                base += nl * int(caps[si])
+            wm, wv, _ws = g.caps
+            wtot = sum(g.caps)
+            # stream si of lane l sits at flat [base + l*wtot +
+            # off[si], ... + cap_si); all offsets stay 32-word
+            # aligned (_ebucket caps), as the chunk gather requires
+            off = np.array([0, wm, wm + wv], np.int64)
+            planes.append(cat)
             lanes = np.arange(nl, dtype=np.int64)[:, None]
-            sb_l.append((stream_bases[None, :]
-                         + lanes * caps[None, :]).reshape(-1))
+            sb_l.append((base + lanes * wtot + off[None, :])
+                        .reshape(-1))
             cnt_l.append(((bits.astype(np.int64) + 31) // 32)
                          .reshape(-1))
+            base += nl * wtot
         cnts = np.concatenate(cnt_l)
         seg_base = np.concatenate(sb_l)
         # chunk-aligned layout: each segment starts on a 32-word
@@ -605,15 +600,18 @@ class VideoEncoder:
         self._enc = None
         self._inflight = []
         from concurrent.futures import ThreadPoolExecutor
-        # stage pipeline: prep (stack/narrow) -> dispatch (upload +
-        # device compute; the dispatch call blocks until args are
-        # resident on tunneled backends) -> drain (d2h fetch of the
-        # coded words + byte packing + Tier-2).  Single worker per
-        # stage keeps burst order; stages of consecutive bursts
-        # overlap, so steady state is the slowest stage, not the sum.
+        # stage pipeline: prep (stack/narrow) -> io (upload + device
+        # compute + d2h fetch of the coded words + byte packing) ->
+        # t2 (packetization + assembly).  ONE worker owns ALL device
+        # traffic: on tunneled backends the up/down link is a single
+        # contended channel, and concurrent upload(+exec) and
+        # dense-fetch threads interleave on it so badly that a
+        # 3-stage split ran ~2x SLOWER than fully sequential
+        # (measured 8.6 vs 17 MP/s on the v5e tunnel); with one IO
+        # stage the link runs back-to-back and only host CPU work
+        # (prep, Tier-2) overlaps it.
         self._prep_pool = ThreadPoolExecutor(max_workers=1)
-        self._dispatch_pool = ThreadPoolExecutor(max_workers=1)
-        self._drain_pool = ThreadPoolExecutor(max_workers=1)
+        self._io_pool = ThreadPoolExecutor(max_workers=1)
         self._t2_pool = ThreadPoolExecutor(max_workers=1)
 
     def _ensure(self, frame):
@@ -669,19 +667,11 @@ class VideoEncoder:
                 enc.siz, geom, c, normalize_planes(f)[c])
                 for f in frames]) for c in range(nc)]
 
-        def dispatch(stacks=stacks):
+        def io(stacks=stacks, frames=frames):
             with trace.stage('encode.device'):
                 outs = runner(*[jax.device_put(s) for s in stacks])
                 if _use_pallas():
-                    # absorb the upload+compute wait HERE (the aux
-                    # fetch blocks on it), so the drain stage starts
-                    # with results ready
-                    return (outs[0], np.asarray(outs[1]))
-                return outs
-        dfut = self._dispatch_pool.submit(dispatch)
-
-        def drain(dfut=dfut, frames=frames):
-            outs = dfut.result()
+                    outs = (outs[0], np.asarray(outs[1]))
             codeds = [_empty_coded(geom, nc) for _ in range(F)]
             with trace.stage('encode.segment_pack'):
                 if _use_pallas() and not plan.use_scan:
@@ -694,7 +684,7 @@ class VideoEncoder:
                     enc._consume_record_outs(plan, outs, codeds)
                 del outs
             return codeds
-        pfut = self._drain_pool.submit(drain)
+        pfut = self._io_pool.submit(io)
 
         def t2(pfut=pfut):
             codeds = pfut.result()

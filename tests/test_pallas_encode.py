@@ -76,22 +76,82 @@ def test_encode_kernel_segments_match_records(rng, w, h, kmax):
                               out_p[i, :lens_p[i]]), f'lane {i} bytes'
 
 
+def test_kernel_qhl_matches_per_height(rng):
+    """Height-merged parity: lanes of true heights 4/7/10/16 encoded
+    in ONE group (kernel qhl gate) must pack byte-identical to each
+    height encoded separately at its natural shape."""
+    w, hmax, kmax = 16, 16, 8
+    heights = [4, 7, 10, 16, 13]
+    n = 128
+    mag = rng.randint(0, 1 << kmax, (n, hmax, w)).astype(np.uint32)
+    sign = rng.randint(0, 2, (n, hmax, w)).astype(np.uint32) << 31
+    full = (np.where(mag != 0, sign, 0) | (mag << (31 - kmax))) \
+        .astype(np.uint32)
+    p = np.full(n, 31 - kmax, np.int32)
+    hs = np.array([heights[i % len(heights)] for i in range(n)])
+    buf = full.copy()
+    for i in range(n):
+        buf[i, hs[i]:] = 0          # zero-pad below the true height
+    qhl = (hs + 1) // 2
+    caps = _caps(w, hmax, kmax)
+    stride = hmax * w * 5 + 256
+
+    melw, vlcw, msw, bits, ovf = encode_cleanup_pallas(
+        jnp.asarray(buf), jnp.asarray(p), w, hmax, caps,
+        qhl=jnp.asarray(qhl, np.int32), interpret=True)
+    melw, vlcw, msw, bits, ovf = (np.asarray(x) for x in
+                                  (melw, vlcw, msw, bits, ovf))
+    assert not ovf.any()
+
+    for i in range(n):
+        h = int(hs[i])
+        hp = ((h + 1) // 2) * 2
+        one = np.ascontiguousarray(buf[i:i + 1, :hp])
+        mel_e, vlc_c, vlc_l, ms_v, ms_l = encode_cleanup_core(
+            jnp.asarray(one), jnp.asarray(p[i:i + 1]), w, h)
+        sw = lambda a: np.asarray(a).swapaxes(0, 1)
+        pairs = ((w + 1) // 2 + 1) // 2
+        pairs_real = np.array([((h + 1) // 2) * pairs], np.int64)
+        out_r, lens_r = native.pack_cleanup_segments(
+            sw(mel_e), sw(vlc_c), sw(vlc_l), sw(ms_v), sw(ms_l),
+            pairs_real, out_stride=stride)
+
+        cnts = (bits[i] + 31) // 32
+        meta = np.zeros((1, 6), np.int64)
+        chunks = []
+        cur = 0
+        for si, pln in ((0, melw), (1, vlcw), (2, msw)):
+            c = int(cnts[si])
+            meta[0, si * 2] = cur
+            meta[0, si * 2 + 1] = int(bits[i, si])
+            chunks.append(pln[i, :c])
+            cur += c
+        dense = np.concatenate(chunks) if chunks else \
+            np.zeros(1, np.uint32)
+        out_p, lens_p = native.pack_from_dense(dense, meta,
+                                               out_stride=stride)
+        assert lens_r[0] == lens_p[0], f'lane {i} (h={h}) length'
+        assert np.array_equal(out_r[0, :lens_r[0]],
+                              out_p[0, :lens_p[0]]), \
+            f'lane {i} (h={h}) bytes'
+
+
 def test_pipeline_mixed_height_groups(rng, monkeypatch):
-    """Regression: same-width blocks with different true heights must
-    not share an encode group — the kernel's quad-row count and fuse
-    termination are static, so a max-height group encoded phantom
-    padding rows for its shorter lanes (caught at 100x150x3, whose
-    w=19 r1 blocks come in h=12 and h=13)."""
+    """Same-width blocks with different true heights share one
+    height-merged encode group; the kernel's per-lane qhl gate must
+    stop each short lane's emission at its own rows instead of
+    encoding phantom padding rows (caught at 100x150x3, whose w=19
+    r1 blocks come in h=12 and h=13)."""
     import openjph_tpu.tpu.pipeline as pl
     import openjph_tpu.tpu.block_encode_pallas as bep
     from openjph_tpu import encode
     from openjph_tpu.tpu.encode_pipeline import encode_tpu
 
-    orig = bep.encode_cleanup_pallas
+    orig = bep.encode_cleanup_pallas_cat
     monkeypatch.setattr(
-        bep, 'encode_cleanup_pallas',
-        lambda buf, p, w, h, caps: orig(buf, p, w, h, caps,
-                                        interpret=True))
+        bep, 'encode_cleanup_pallas_cat',
+        lambda buf, p, w, h, caps, qhl=None: orig(
+            buf, p, w, h, caps, qhl=qhl, interpret=True))
     monkeypatch.setattr(pl, '_USE_PALLAS', True)
     img = rng.randint(0, 256, (100, 150, 3)).astype(np.int32)
     assert encode_tpu(img, reversible=True, num_decomps=3) \
