@@ -158,6 +158,28 @@ def test_pipeline_mixed_height_groups(rng, monkeypatch):
         == encode(img, reversible=True, num_decomps=3)
 
 
+def test_pipeline_odd_tile_grid(rng, monkeypatch):
+    """Odd tile grid (75x201 over 64x64 tiles, 32x32 blocks): many
+    block widths and heights per width class.  Byte parity of the
+    merged-group pallas path vs the host encoder — the geometry that
+    previously forced the scan fallback (per-(w,h) kernel blowup)."""
+    import openjph_tpu.tpu.pipeline as pl
+    import openjph_tpu.tpu.block_encode_pallas as bep
+    from openjph_tpu import encode
+    from openjph_tpu.tpu.encode_pipeline import encode_tpu
+
+    orig = bep.encode_cleanup_pallas_cat
+    monkeypatch.setattr(
+        bep, 'encode_cleanup_pallas_cat',
+        lambda buf, p, w, h, caps, qhl=None: orig(
+            buf, p, w, h, caps, qhl=qhl, interpret=True))
+    monkeypatch.setattr(pl, '_USE_PALLAS', True)
+    img = rng.randint(0, 256, (75, 201)).astype(np.int32)
+    kw = dict(reversible=True, num_decomps=2, tile_size=(64, 64),
+              block_size=(32, 32))
+    assert encode_tpu(img, **kw) == encode(img, **kw)
+
+
 def test_encode_kernel_lane_tiling(rng, monkeypatch):
     """Shrunken VMEM budget forces the encode kernel's lane-axis grid
     tiling (+ lane padding when the tile doesn't divide the sublane
