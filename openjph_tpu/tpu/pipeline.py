@@ -651,16 +651,17 @@ def _make_runner(plan: _Plan, nframes: int = 1, shard=None,
                 # straight to the Tier-1 kernel (its readers unstuff
                 # on the fly like the reference's
                 # dec_mel_st/rev_struct/frwd_struct32); the XLA
-                # unstuff stage below disappears entirely (see
-                # _raw_t1 for the measured economics)
-                from .unstuff import _lane_words_fwd, _lane_words_rev
+                # unstuff stage below disappears entirely, and the
+                # three per-stream window gathers collapse into ONE
+                # combined fetch per lane (unstuff.derive_raw_views —
+                # the gathers were the fused graph's dominant device
+                # cost by xprof)
+                from .unstuff import derive_raw_views
                 lane_off = mg[:, 0]
                 ms_n = mg[:, 1]
                 sh_n = mg[:, 2]
-                ms = _lane_words_fwd(words, lane_off, ws_)
-                mel = _lane_words_fwd(words, lane_off + ms_n, wm)
-                vlc = _lane_words_rev(words, lane_off + ms_n, sh_n,
-                                      wv_)
+                ms, mel, vlc = derive_raw_views(
+                    words, lane_off, ms_n, sh_n, (wm, wv_, ws_))
             elif device_unstuff:
                 # words is the raw segment blob (uint32 view);
                 # rebuild the dense windows on-device (meta columns:
@@ -915,6 +916,9 @@ def _blob_margin(pairs) -> int:
     for _, p in pairs:
         for g in p.groups:
             mw = max(mw, *g.words, *g.rwords)
+            # raw-T1 combined window (unstuff.derive_raw_views):
+            # one fetch spans MagSgn + the wider of MEL/VLC
+            mw = max(mw, g.words[2] + max(g.words[0], g.words[1]) + 2)
     from .unstuff import _ROW
     return 4 * (mw + _ROW + 2)  # row-aligned window fetch contract
 

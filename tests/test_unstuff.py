@@ -47,7 +47,7 @@ def test_unstuff_matches_numpy_reference(seed):
     sizes = lcups - 1
     # lead/tail margins per the unstuff blob contract (the window
     # fetch is a clipped contiguous slice per lane)
-    lead = 4 * (max(wm, wv, ws) + 514)
+    lead = 4 * (wm + wv + ws + 516)   # covers the combined raw view
     base = np.zeros_like(sizes)
     base[0] = lead
     np.cumsum(sizes[:-1], out=base[1:])
@@ -72,6 +72,34 @@ def test_unstuff_matches_numpy_reference(seed):
     np.testing.assert_array_equal(got_ms, ref['ms'])
     np.testing.assert_array_equal(got_mel, ref['mel'])
     np.testing.assert_array_equal(got_vlc, ref['vlc'])
+
+    # the combined-window raw views (ONE gather per lane) must equal
+    # the three per-stream fetches they replace in the raw-T1 path
+    from openjph_tpu.tpu.unstuff import (_lane_words_fwd,
+                                         _lane_words_rev,
+                                         derive_raw_views)
+    msn_j = jnp.asarray(ms_n, jnp.int32)
+    shn_j = jnp.asarray(sh_n, jnp.int32)
+    raw_ms, raw_mel, raw_vlc = derive_raw_views(
+        jb, boff, msn_j, shn_j, (wm, wv, ws))
+    ref_ms = np.asarray(_lane_words_fwd(jb, boff, ws))
+    ref_mel = np.asarray(_lane_words_fwd(jb, boff + msn_j, wm))
+    ref_vlc = np.asarray(_lane_words_rev(jb, boff + msn_j, shn_j, wv))
+    # beyond-stream bytes are kernel-masked; compare only the
+    # in-stream byte positions of each view
+    def _mask(a, nbytes):
+        a = np.asarray(a).copy()
+        k = np.arange(a.shape[1], dtype=np.int64)[None, :]
+        for m in range(4):
+            sel = (k * 4 + m) >= nbytes[:, None]
+            a[sel] = a[sel] & ~np.uint32(0xFF << (8 * m))
+        return a
+    np.testing.assert_array_equal(_mask(raw_ms, ms_n),
+                                  _mask(ref_ms, ms_n))
+    np.testing.assert_array_equal(_mask(raw_mel, sh_n),
+                                  _mask(ref_mel, sh_n))
+    np.testing.assert_array_equal(_mask(raw_vlc, sh_n),
+                                  _mask(ref_vlc, sh_n))
 
 
 def test_device_unstuff_pipeline_bit_exact(monkeypatch):
