@@ -644,8 +644,10 @@ def _make_runner(plan: _Plan, nframes: int = 1, shard=None,
             mg = meta[:, s0:s0 + npad].reshape(F * npad, 8)
 
             wm, wv_, ws_ = wordss[i]
-            raw_t1 = (device_unstuff and use_pallas
-                      and rwordss[i][0] == 0 and _raw_t1())
+            # multipass groups also take the raw cleanup path: the
+            # refinement branch below derives SigProp/MagRef
+            # independently from the same blob
+            raw_t1 = (device_unstuff and use_pallas and _raw_t1())
             if raw_t1:
                 # in-kernel unstuffing: ship the RAW stuffed windows
                 # straight to the Tier-1 kernel (its readers unstuff
