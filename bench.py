@@ -539,10 +539,14 @@ def main():
         print(f'device-only encode bench failed: {e!r}', file=sys.stderr)
     if os.environ.get('OJTPU_BENCH_FULLCONFIGS'):
         # configs 3/4 cost minutes of stream construction + compiles;
-        # opt-in so the driver's per-round run stays bounded (see
-        # BENCH_CONFIGS.json for recorded values)
+        # opt-in so the driver's per-round run stays bounded (their
+        # metrics are recorded to BENCH_CONFIGS.json below)
         try:
+            n0 = len(_results)
             bench_config34_device_only()
+            with open(os.path.join(REPO, 'BENCH_CONFIGS.json'),
+                      'w') as f:
+                json.dump(_results[n0:], f, indent=1)
         except Exception as e:  # noqa: BLE001
             print(f'config 3/4 bench failed: {e!r}', file=sys.stderr)
 
