@@ -104,7 +104,9 @@ class MosaicDecoder:
             cls['plan'] = plans[0]
 
     def _runner(self, key, F):
-        rk = (key, F, self.mesh, self.axis)
+        from ..tpu.pipeline import _raw_t1, _use_pallas
+        rk = (key, F, self.mesh, self.axis,
+              _use_pallas(), _raw_t1())
         runner = _SHARD_RUNNERS.get(rk)
         if runner is None:
             shard = NamedSharding(self.mesh, P(self.axis))
@@ -279,7 +281,8 @@ class MosaicEncoder:
                     tps += [tps[0]] * (F - T)
                     stacks.append(np.stack(tps))
                 del per_tile
-            rk = (plan.key, F, self.mesh, self.axis)
+            rk = (plan.key, F, self.mesh, self.axis,
+                  _use_pallas())
             runner = _SHARD_RUNNERS.get(rk)
             if runner is None:
                 with trace.stage('mosaic.enc_compile'):

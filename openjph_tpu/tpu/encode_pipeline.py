@@ -360,11 +360,16 @@ class TpuEncoder(Encoder):
             plan = self._build_enc_plan(geom)
         if plan is None or not native.have_native():
             return super()._encode_tile(idx, tr, planes)
-        runner = _ENC_RUNNERS.get((plan.key, 1))
+        # the runner's traced graph AND output structure depend on
+        # the pallas mode (tests monkeypatch _USE_PALLAS), so the
+        # cache key must carry it or a cached runner from the other
+        # mode feeds the wrong consumer
+        rk = (plan.key, 1, _use_pallas())
+        runner = _ENC_RUNNERS.get(rk)
         if runner is None:
             with trace.stage('encode.compile'):
                 runner = self._make_enc_runner(plan, 1)
-            _ENC_RUNNERS[(plan.key, 1)] = runner
+            _ENC_RUNNERS[rk] = runner
 
         tplanes = [_narrow_tile_plane(siz, geom, c, planes[c])[None]
                    for c in range(nc)]
@@ -657,11 +662,12 @@ class VideoEncoder:
             return [enc.encode(normalize_planes(f)) for f in frames]
         geom = self._geom
         nc = enc.siz.num_comps
-        runner = _ENC_RUNNERS.get((plan.key, F))
+        rk = (plan.key, F, _use_pallas())
+        runner = _ENC_RUNNERS.get(rk)
         if runner is None:
             with trace.stage('encode.compile'):
                 runner = enc._make_enc_runner(plan, F)
-            _ENC_RUNNERS[(plan.key, F)] = runner
+            _ENC_RUNNERS[rk] = runner
         with trace.stage('encode.host_prep'):
             stacks = [np.stack([_narrow_tile_plane(
                 enc.siz, geom, c, normalize_planes(f)[c])

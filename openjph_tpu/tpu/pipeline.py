@@ -1260,11 +1260,14 @@ class TpuDecoder(Decoder):
     def _decode_fast(self, plan: _Plan) -> List[np.ndarray]:
         with trace.stage('decode.host_prep'):
             mode, args = _pack_auto([(self, plan)])
-        runner = _RUNNERS.get((plan.key, 1, mode))
+        # _use_pallas/_raw_t1 shape the traced graph (tests
+        # monkeypatch them) -> they belong in the cache key
+        rk = (plan.key, 1, mode, _use_pallas(), _raw_t1())
+        runner = _RUNNERS.get(rk)
         if runner is None:
             with trace.stage('decode.compile'):
                 runner = _make_runner(plan, 1, device_unstuff=mode)
-            _RUNNERS[(plan.key, 1, mode)] = runner
+            _RUNNERS[rk] = runner
         with trace.stage('decode.device'):
             errs, outs = runner(*args)
             if np.asarray(errs).any():
@@ -1523,11 +1526,12 @@ class VideoDecoder:
         key = plans[0].key
         with trace.stage('decode.host_prep'):
             mode, args = _pack_auto(list(zip(decs, plans)))
-        runner = _RUNNERS.get((key, F, mode))
+        rk = (key, F, mode, _use_pallas(), _raw_t1())
+        runner = _RUNNERS.get(rk)
         if runner is None:
             with trace.stage('decode.compile'):
                 runner = _make_runner(plans[0], F, device_unstuff=mode)
-            _RUNNERS[(key, F, mode)] = runner
+            _RUNNERS[rk] = runner
         # upload + dispatch on their own worker: on tunneled backends
         # the dispatch call blocks until its arguments are resident,
         # which would stall THIS (prep) worker for a full wire
@@ -1650,10 +1654,11 @@ def decode_tpu_batch(streams: List[bytes], resilient: bool = False,
             plan = chunk[0][2]
             mode, args = _pack_auto(
                 [(d, pl) for (_, d, pl) in chunk])
-            runner = _RUNNERS.get((key, F, mode))
+            rk = (key, F, mode, _use_pallas(), _raw_t1())
+            runner = _RUNNERS.get(rk)
             if runner is None:
                 runner = _make_runner(plan, F, device_unstuff=mode)
-                _RUNNERS[(key, F, mode)] = runner
+                _RUNNERS[rk] = runner
             errs, outs = runner(*args)
             if np.asarray(errs).any():
                 raise ValueError('U_q exceeds missing_msbs + 2')
