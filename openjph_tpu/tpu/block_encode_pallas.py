@@ -102,10 +102,12 @@ def _append(st, v, ln):
 
 # Page height for the gated word scatter: a completed word lands at a
 # per-lane index, which has no native scatter primitive, so the plane
-# write is a masked read-modify-write — gated to the 32-row pages
-# holding some flushing lane's word index (lanes emit at similar
-# rates, so the span is a few pages out of the worst-case cap).
-_PAGE = 32
+# write is a masked read-modify-write — gated to the pages holding
+# some flushing lane's word index (lanes emit at similar rates, so
+# the span is a few pages out of the worst-case cap).  8-row pages
+# measured 14% faster than 32 on v5e (xprof: the flush passes are
+# ~84% of this kernel; smaller pages cut their data movement).
+_PAGE = 8
 
 
 def _flush_one(st, out_ref, nwords: int):
