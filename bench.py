@@ -212,47 +212,69 @@ def bench_decode_gray(stream_sets, frame_sets):
                           if base_decs else None)
 
 
+def _timed_device_rounds(runner_call, n_work: int, mp, label,
+                         reps: int = 4):
+    """Time ROUNDS2 rounds of ``reps`` device dispatches without EVER
+    re-timing work the tunnel has seen: the tunnel backend dedups a
+    repeated (executable, resident-args) execution, and its
+    jax.block_until_ready is asynchronous, so every timed dispatch
+    must be a DISTINCT work item and every rep's (small) result plane
+    must be fetched inside the timed window.  ``runner_call(w)``
+    dispatches work item w (0 is the warm-up, never re-timed) and
+    returns a jax array whose fetch forces completion.  Requires
+    n_work >= 1 + ROUNDS2 * reps."""
+    import numpy as np
+    from concurrent.futures import ThreadPoolExecutor
+    assert n_work >= 1 + ROUNDS2 * reps, \
+        f'{label}: need {1 + ROUNDS2 * reps} distinct bursts, ' \
+        f'got {n_work}'
+    np.asarray(runner_call(0))          # compile + warm + real sync
+    vals = []
+    with ThreadPoolExecutor(4) as pool:
+        for r in range(ROUNDS2):
+            t0 = time.perf_counter()
+            outs = [runner_call(1 + r * reps + i)
+                    for i in range(reps)]
+            list(pool.map(np.asarray, outs))
+            vals.append(mp * reps / (time.perf_counter() - t0))
+            _dbg(f'  {label} r{r}: {vals[-1]:.1f} MP/s')
+    return vals
+
+
 def bench_decode_device_only(stream_sets, base_dec_mps):
     """Data-resident decode: coded words already in HBM; the fused
     graph (on-device unstuff -> Tier-1 -> dequant -> DWT -> color) is
-    timed alone.  Baseline = ojph_expand's host decode alone.
-
-    Every rep decodes a DIFFERENT burst and every rep's (small)
-    Tier-1 error plane is FETCHED inside the timed window: the
-    tunnel backend dedups repeated identical executions AND its
-    jax.block_until_ready is asynchronous, so anything less reports
-    fantasy numbers."""
+    timed alone.  Baseline = ojph_expand's host decode alone."""
     import jax
     import numpy as np
-    from concurrent.futures import ThreadPoolExecutor
     from openjph_tpu.tpu.pipeline import (TpuDecoder, _build_plan,
-                                          _make_runner, _pack_auto)
-    runner = None
-    dargs_sets = []
+                                          _make_runner, _pack,
+                                          _pack_auto)
+    packed = []
+    pairs_sets = []
     for streams in stream_sets:
         decs = [TpuDecoder(s) for s in streams]
         plans = [_build_plan(d) for d in decs]
         assert all(p is not None for p in plans)
-        mode, args = _pack_auto(list(zip(decs, plans)))
-        if runner is None:
-            runner = _make_runner(plans[0], NFRAMES,
-                                  device_unstuff=mode)
-        dargs_sets.append(tuple(jax.device_put(a) for a in args))
-    np.asarray(runner(*dargs_sets[0])[0])  # compile + warm + sync
-    vals = []
-    with ThreadPoolExecutor(4) as pool:
-        for r in range(ROUNDS2):
-            reps = 4
-            outs = []
-            t0 = time.perf_counter()
-            for i in range(reps):
-                outs.append(runner(*dargs_sets[(r * reps + i)
-                                               % len(dargs_sets)]))
-            # err planes are tiny; fetching them forces every rep's
-            # execution to really finish
-            list(pool.map(lambda o: np.asarray(o[0]), outs))
-            vals.append(MP * reps / (time.perf_counter() - t0))
-            _dbg(f'  dev-only dec r{r}: {vals[-1]:.1f} MP/s')
+        pairs = list(zip(decs, plans))
+        pairs_sets.append(pairs)
+        packed.append(_pack_auto(pairs))
+    # ONE runner serves every set, so they must agree on the pack
+    # mode: differing unstuff K buckets take the max (always correct,
+    # marginally slower); any dense-fallback set forces dense for all
+    modes = {m for m, _ in packed}
+    if 0 in modes:
+        mode = 0
+        packed = [(0, _pack(pairs)) for pairs in pairs_sets]
+    else:
+        mode = max(modes)
+    runner = _make_runner(pairs_sets[0][0][1], NFRAMES,
+                          device_unstuff=mode)
+    dargs_sets = [tuple(jax.device_put(a) for a in args)
+                  for _, args in packed]
+    vals = _timed_device_rounds(
+        lambda w: runner(*dargs_sets[w])[0],   # err plane -> sync
+        len(dargs_sets), MP, 'dev-only dec')
     ratios = [v / base_dec_mps for v in vals] if base_dec_mps else []
     return vals, ratios
 
@@ -339,23 +361,9 @@ def bench_encode_device_only(frame_sets, base_enc_mps):
     dstacks = [jax.device_put(np.stack(
         [_narrow_tile_plane(enc.siz, geom, 0, normalize_planes(f)[0])
          for f in frames])) for frames in frame_sets]
-    np.asarray(runner(dstacks[0])[1])   # compile + warm + sync
-    from concurrent.futures import ThreadPoolExecutor
-    vals = []
-    with ThreadPoolExecutor(4) as pool:
-        for r in range(ROUNDS2):
-            reps = 4
-            outs = []
-            t0 = time.perf_counter()
-            for i in range(reps):
-                outs.append(runner(dstacks[(r * reps + i)
-                                           % len(dstacks)]))
-            # the aux plane (bit counts/flags, ~100 KB) forces real
-            # completion — block_until_ready is asynchronous on the
-            # tunneled backend
-            list(pool.map(lambda o: np.asarray(o[1]), outs))
-            vals.append(MP * reps / (time.perf_counter() - t0))
-            _dbg(f'  dev-only enc r{r}: {vals[-1]:.1f} MP/s')
+    vals = _timed_device_rounds(
+        lambda w: runner(dstacks[w])[1],   # aux plane -> sync
+        len(dstacks), MP, 'dev-only enc')
     ratios = [v / base_enc_mps for v in vals] if base_enc_mps else []
     return vals, ratios
 
@@ -448,37 +456,37 @@ def bench_config34_device_only():
     rng = np.random.RandomState(5)
     yy, xx = np.mgrid[0:2160, 0:4096].astype(np.float32)
 
-    def variants(n=2):
+    # 1 warm-up + ROUNDS2*reps timed bursts, all distinct (the timed
+    # helper never re-dispatches work the tunnel has seen)
+    def variants(n=1 + ROUNDS2 * 2):
         return [(2048 + 1500 * np.sin(xx / 131.0 + v)
                  * np.cos(yy / 97.0 - v)
                  + rng.normal(0, 40, (2160, 4096))) for v in range(n)]
 
-    def timed(streams, mp, metric, reps=4):
-        from concurrent.futures import ThreadPoolExecutor
-        runner = None
-        dargs_sets = []
+    def timed(streams, mp, metric, reps=2):
+        from openjph_tpu.tpu.pipeline import _pack
+        packed = []
+        pairs_l = []
         for stream in streams:
             dec = TpuDecoder(stream)
             plan = _build_plan(dec)
             if plan is None:
                 return
-            mode, args = _pack_auto([(dec, plan)])
-            if runner is None:
-                runner = _make_runner(plan, 1, device_unstuff=mode)
-            dargs_sets.append(tuple(jax.device_put(a) for a in args))
-        np.asarray(runner(*dargs_sets[0])[0])  # warm + real sync
-        vals = []
-        with ThreadPoolExecutor(4) as pool:
-            for r in range(ROUNDS2):
-                outs = []
-                t0 = time.perf_counter()
-                for i in range(reps):
-                    outs.append(runner(*dargs_sets[(r * reps + i)
-                                                   % len(dargs_sets)]))
-                # small err-plane fetches force real completion
-                list(pool.map(lambda o: np.asarray(o[0]), outs))
-                vals.append(mp * reps / (time.perf_counter() - t0))
-                _dbg(f'  {metric} r{r}: {vals[-1]:.1f} MP/s')
+            pairs_l.append([(dec, plan)])
+            packed.append(_pack_auto(pairs_l[-1]))
+        modes = {m for m, _ in packed}
+        if 0 in modes:
+            mode = 0
+            packed = [(0, _pack(p)) for p in pairs_l]
+        else:
+            mode = max(modes)
+        runner = _make_runner(pairs_l[0][0][1], 1,
+                              device_unstuff=mode)
+        dargs_sets = [tuple(jax.device_put(a) for a in args)
+                      for _, args in packed]
+        vals = _timed_device_rounds(
+            lambda w: runner(*dargs_sets[w])[0],
+            len(dargs_sets), mp, metric, reps=reps)
         _emit(metric, vals, [])
 
     bases = variants()
@@ -500,9 +508,11 @@ def bench_config34_device_only():
 
 def main():
     from openjph_tpu import encode
-    # 4 distinct sets: device-only benches must never re-time an
-    # execution the tunnel has already seen (result dedup)
-    frame_sets = make_frames(nsets=4)
+    # 1 + ROUNDS2*4 distinct sets: the device-only benches must never
+    # re-time an execution the tunnel has already seen (result dedup
+    # on repeated resident-args dispatches), so every timed rep in
+    # every round gets its own burst
+    frame_sets = make_frames(nsets=1 + ROUNDS2 * 4)
     stream_sets = [[encode([f], bit_depth=8, reversible=True,
                            num_decomps=5, block_size=(64, 64))
                     for f in frames] for frames in frame_sets]

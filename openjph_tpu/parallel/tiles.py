@@ -293,7 +293,7 @@ class MosaicEncoder:
             codeds = [_empty_coded(geoms[ti], nc) for ti in tiles] \
                 + [None] * (F - T)
             with trace.stage('mosaic.enc_pack'):
-                if _use_pallas() and not plan.use_scan:
+                if _use_pallas():
                     try:
                         enc._consume_pallas_outs(plan, outs, codeds)
                     except _PallasOverflow:

@@ -143,14 +143,6 @@ def _flush_one(st, out_ref, nwords: int):
             jnp.where(doit, wi + 1, wi), ovf)
 
 
-def _maybe_flush(st, out_ref, nwords: int):
-    """One conditional flush pass; skipped when every lane is low."""
-    def yes(s):
-        return _flush_one(s, out_ref, nwords)
-
-    return lax.cond(jnp.any(st[_NLIMB] >= 96), yes, lambda s: s, st)
-
-
 def _flush_many(st, out_ref, nwords: int, npop: int):
     """Pop up to ``npop`` completed words per lane in ONE page pass.
 

@@ -91,9 +91,8 @@ class _EncPlan:
     # pallas kernel gates emission with a per-lane quad-height limit
     # (its qhl input, mirroring the decode kernel), so one kernel per
     # WIDTH covers every block height — no per-(w, h) kernel blowup
-    # on odd tile grids.  use_scan is retained for the non-pallas
-    # Tier-1 (encode_cleanup_core) only.
-    use_scan: bool = False
+    # on odd tile grids; the non-pallas backends run the scan Tier-1
+    # (encode_cleanup_core) over the same groups
 
 
 _ENC_RUNNERS: Dict[tuple, object] = {}
@@ -103,8 +102,7 @@ class TpuEncoder(Encoder):
     """Encoder whose DWT + Tier-1 run on the accelerator; falls back
     to the scalar Encoder path when the plan can't cover the stream."""
 
-    def _build_enc_plan(self, geom,
-                        force_scan: bool = False) -> Optional[_EncPlan]:
+    def _build_enc_plan(self, geom) -> Optional[_EncPlan]:
         if getattr(self, 'ht_passes', 1) != 1:
             return None  # SigProp/MagRef emission: scalar host path
         groups: Dict[int, _EncGroup] = {}
@@ -206,9 +204,8 @@ class TpuEncoder(Encoder):
             g.n_pad = -(-len(g.lanes) // 128) * 128
         key = (tuple((g.gid, g.w, g.h, len(g.lanes), tuple(g.strips),
                       tuple(g.p), g.caps) for g in glist),
-               tuple(bands), tuple(comps), mct, force_scan)
-        return _EncPlan(key, glist, bands, comps, mct,
-                        use_scan=force_scan)
+               tuple(bands), tuple(comps), mct)
+        return _EncPlan(key, glist, bands, comps, mct)
 
     def _make_enc_runner(self, plan: _EncPlan, nframes: int = 1,
                          shard=None):
@@ -221,7 +218,7 @@ class TpuEncoder(Encoder):
         groups, bands, comps, mct = (plan.groups, plan.bands,
                                      plan.comps, plan.mct)
         F = nframes
-        use_pallas = _use_pallas() and not plan.use_scan
+        use_pallas = _use_pallas()
         if use_pallas:
             from .block_encode_pallas import encode_cleanup_pallas_cat
 
@@ -379,7 +376,7 @@ class TpuEncoder(Encoder):
         # host: pack segments, build the coded-block structure
         coded = _empty_coded(geom, nc)
         with trace.stage('encode.segment_pack'):
-            if _use_pallas() and not plan.use_scan:
+            if _use_pallas():
                 try:
                     self._consume_pallas_outs(plan, outs, [coded])
                 except _PallasOverflow:
@@ -680,7 +677,7 @@ class VideoEncoder:
                     outs = (outs[0], np.asarray(outs[1]))
             codeds = [_empty_coded(geom, nc) for _ in range(F)]
             with trace.stage('encode.segment_pack'):
-                if _use_pallas() and not plan.use_scan:
+                if _use_pallas():
                     try:
                         enc._consume_pallas_outs(plan, outs, codeds)
                     except _PallasOverflow:

@@ -84,9 +84,12 @@ def _raw_t1() -> bool:
     XLA unstuff stage.  Measured on v5e (config-1 burst): parity with
     the XLA stage (~530 MP/s both) — the shared cost is the per-lane
     window fetch, not the unstuff arithmetic — but the raw path drops
-    the dense intermediate planes from HBM and shortens the graph.
-    Single-pass groups only; OJTPU_RAW_T1=0 opts out (falls back to
-    the XLA unstuff + dense kernel)."""
+    the dense intermediate planes from HBM, shortens the graph, and
+    (since the combined-window fetch) collapses three per-lane window
+    gathers into one.  Applies to every group's CLEANUP pass,
+    multipass included (the SigProp/MagRef branch derives its streams
+    independently); OJTPU_RAW_T1=0 opts out (falls back to the XLA
+    unstuff + dense kernel)."""
     global _RAW_T1
     if _RAW_T1 is None:
         _RAW_T1 = os.environ.get('OJTPU_RAW_T1', '1') != '0'

@@ -170,10 +170,7 @@ def _lane_words_rev(blob32, byte_off, nbytes, nwords):
     whi = win[:, nwords + 1:1:-1]
     le = (wlo >> ph) | jnp.where(ph > 0, whi << (_u32(32) - ph),
                                  _u32(0))
-    # byte swap
-    le = ((le & 0x000000FF) << 24) | ((le & 0x0000FF00) << 8) | \
-         ((le & 0x00FF0000) >> 8) | ((le & _u32(0xFF000000)) >> 24)
-    return le
+    return _bswap32(le)
 
 
 def _byte_shift_words(win, shift_bytes, W_out: int):
