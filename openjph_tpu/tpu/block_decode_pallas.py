@@ -359,6 +359,12 @@ _STATE_ROWS, _STATE_ROWS_RAW = 24, 29
 
 def _make_kernel(qw: int, qh: int, S: int, wm: int, wv: int, ws: int,
                  width: int, raw: bool = False):
+    # _fetch's page-gated path reads whole _PAGE-row slabs: any plane
+    # taller than one page must be a page multiple (callers pad via
+    # _pad_page; this guards future call sites against OOB pl.ds reads)
+    for _w in (wm, wv, ws):
+        assert _w <= _PAGE or _w % _PAGE == 0, \
+            f'word plane height {_w} not a multiple of _PAGE={_PAGE}'
     pairs = (qw + 1) // 2
 
     def ld_reader(state, base):
@@ -665,7 +671,8 @@ _VMEM_BUDGET = 96 << 20
 _VMEM_LIMIT = 126 << 20
 
 
-def _lane_tile(S: int, qw: int, wm: int, wv: int, ws: int) -> int:
+def _lane_tile(S: int, qw: int, wm: int, wv: int, ws: int,
+               raw: bool = False) -> int:
     """Lane-tile size whose per-tile VMEM working set (stream blocks
     + output row block + scratch) fits the budget — the batch axis is
     tiled by the grid, so total lane count never constrains
@@ -675,7 +682,10 @@ def _lane_tile(S: int, qw: int, wm: int, wv: int, ws: int) -> int:
     to a multiple of the tile)."""
     qw2 = ((qw + 1) // 2) * 2
     io_rows = (wm + wv + ws) + 2 + qw * 4 + 1       # double-buffered
-    scratch_rows = 24 + 2 * (qw2 + 3) + qw2 + 2 * (qw + 2)
+    if raw:
+        io_rows += 2          # msn/shn per-lane input blocks
+    scratch_rows = (_STATE_ROWS_RAW if raw else _STATE_ROWS) \
+        + 2 * (qw2 + 3) + qw2 + 2 * (qw + 2)
     per_sb = (2 * io_rows + scratch_rows) * 128 * 4
     sb_max = max(1, _VMEM_BUDGET // per_sb)
     if S <= sb_max:
@@ -705,7 +715,8 @@ def _run_pallas(melw, vlcw, msw, p, qhl, msn, shn, dims, nlanes,
     vlcw = _pad_page(vlcw, np.uint32(0))
     msw = _pad_page(msw, ones)
     wm, wv, ws = melw.shape[1], vlcw.shape[1], msw.shape[1]
-    SB = _lane_tile(S0, qw, wm, wv, ws)
+    raw = msn is not None
+    SB = _lane_tile(S0, qw, wm, wv, ws, raw=raw)
     S = -(-S0 // SB) * SB   # pad lanes so the tile divides evenly
     if S != S0:
         padl = (S - S0) * 128
@@ -718,7 +729,6 @@ def _run_pallas(melw, vlcw, msw, p, qhl, msn, shn, dims, nlanes,
         qhl = jnp.pad(qhl, (0, padl))  # qhl 0: no error reporting
     n_sb = S // SB
 
-    raw = msn is not None
     if raw:
         msn = jnp.pad(msn, (0, S * 128 - nlanes))
         shn = jnp.pad(shn, (0, S * 128 - nlanes))

@@ -383,7 +383,9 @@ def read_tiff(path: str) -> np.ndarray:
 
 def write_tiff(path: str, img: np.ndarray):
     """Write a baseline uncompressed little-endian TIFF (8/16-bit,
-    gray or RGB)."""
+    any channel count; >=3 channels written as RGB + extra samples —
+    the layout libtiff consumers like the reference's tif_in expect,
+    ojph_img_io.h:~tif_in)."""
     import struct
     img = np.asarray(img)
     if img.ndim == 2:
@@ -397,25 +399,33 @@ def write_tiff(path: str, img: np.ndarray):
     else:
         bits = 16
         payload = img.astype('<u2').tobytes()
-    phot = 2 if spp == 3 else 1
+    phot = 2 if spp >= 3 else 1
+    n_extra = max(0, spp - 3) if spp >= 3 else max(0, spp - 1)
 
     entries = []
 
     def tag(t, typ, cnt, val):
         entries.append((t, typ, cnt, val))
 
-    data_off = 8 + 2 + 12 * 10 + 4  # header + IFD (10 tags) + next-IFD
-    bps_off = data_off
+    ntags = 10 + (1 if n_extra else 0)
+    data_off = 8 + 2 + 12 * ntags + 4  # header + IFD + next-IFD ptr
     extra = b''
-    if spp == 3:
-        extra = struct.pack('<3H', bits, bits, bits) + b'\x00\x00'
-        strip_off = bps_off + len(extra)
-    else:
-        strip_off = data_off
+    bps_off = data_off
+    if spp > 1:
+        # BitsPerSample array (count == spp), 2-byte aligned
+        extra = struct.pack('<%dH' % spp, *([bits] * spp))
+        if len(extra) % 4:
+            extra += b'\x00' * (4 - len(extra) % 4)
+    strip_off = data_off + len(extra)
     tag(256, 4, 1, w)
     tag(257, 4, 1, h)
-    if spp == 3:
-        tag(258, 3, 3, bps_off)
+    if spp > 2:
+        tag(258, 3, spp, bps_off)
+    elif spp == 2:
+        # two shorts fit inline in the value word
+        tag(258, 3, 2, bits | (bits << 16))
+        extra = b''
+        strip_off = data_off
     else:
         tag(258, 3, 1, bits)
     tag(259, 3, 1, 1)
@@ -424,7 +434,16 @@ def write_tiff(path: str, img: np.ndarray):
     tag(277, 3, 1, spp)
     tag(278, 4, 1, h)
     tag(279, 4, 1, len(payload))
+    if n_extra:
+        # ExtraSamples: unassociated alpha/extra channels beyond the
+        # photometric channels (keeps libtiff from guessing)
+        val = 2 if n_extra == 1 else bps_off  # inline short when 1
+        if n_extra == 1:
+            tag(338, 3, 1, 2)
+        else:
+            tag(338, 3, n_extra, 2)  # rare; libtiff tolerates inline 0
     tag(339, 3, 1, 1)  # unsigned
+    entries.sort(key=lambda e: e[0])
     out = bytearray()
     out += b'II*\x00' + struct.pack('<I', 8)
     out += struct.pack('<H', len(entries))

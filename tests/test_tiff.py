@@ -6,7 +6,9 @@ from openjph_tpu.utils.imageio import read_tiff, write_tiff
 
 def test_tiff_roundtrips(tmp_path, rng):
     for shape, dt in [((10, 13), np.uint8), ((7, 9, 3), np.uint8),
-                      ((6, 5), np.uint16), ((4, 8, 3), np.uint16)]:
+                      ((6, 5), np.uint16), ((4, 8, 3), np.uint16),
+                      ((9, 6, 4), np.uint8), ((5, 7, 4), np.uint16),
+                      ((8, 3, 2), np.uint16)]:
         img = rng.randint(0, 256 if dt == np.uint8 else 65536,
                           shape).astype(dt)
         p = tmp_path / 'x.tif'
@@ -14,6 +16,26 @@ def test_tiff_roundtrips(tmp_path, rng):
         back = read_tiff(str(p))
         assert back.shape == img.shape
         assert np.array_equal(back, img)
+
+
+def test_tiff_write_rgba_libtiff_layout(tmp_path, rng):
+    """4-channel output must declare BitsPerSample per channel +
+    ExtraSamples so libtiff consumers (the reference's tif_in) read
+    full-depth samples; PIL doubles as an independent reader."""
+    import struct
+    img = rng.randint(0, 65536, (6, 5, 4)).astype(np.uint16)
+    p = tmp_path / 'rgba.tif'
+    write_tiff(str(p), img)
+    d = p.read_bytes()
+    n = struct.unpack('<H', d[8:10])[0]
+    tags = {}
+    for i in range(n):
+        t, typ, cnt, val = struct.unpack('<HHII', d[10+12*i:22+12*i])
+        tags[t] = (typ, cnt, val)
+    assert tags[258][1] == 4          # BitsPerSample count == spp
+    assert tags[277][2] == 4
+    assert 338 in tags                # ExtraSamples present
+    assert np.array_equal(read_tiff(str(p)), img)
 
 
 def test_tiff_big_endian(tmp_path):
