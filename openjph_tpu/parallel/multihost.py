@@ -12,7 +12,10 @@ Topology: every process calls :func:`init` (jax.distributed), then
 :func:`decode_frames` — each process decodes its round-robin share of
 the burst locally (on its local devices via the fused TpuDecoder
 path) and the per-frame results are exchanged with a global
-all-gather so every process returns the FULL burst, bit-exact.
+all-gather so every process returns the FULL burst, bit-exact — or
+:func:`encode_frames`, the encode-direction mirror (pixel frames fan
+out, the small coded byte streams gather back, byte-identical to a
+single-process encode).
 
 Tested by a real 2-process localhost run (tests/test_multihost.py)
 and by `__graft_entry__.dryrun_multichip` stage 5.
@@ -124,6 +127,43 @@ def decode_frames(streams: List[bytes], skip_res: int = 0,
     return results
 
 
+def encode_frames(frames, gather: bool = True,
+                  **enc_kwargs) -> List[Optional[bytes]]:
+    """Encode a burst of frames sharded across processes over DCN —
+    the encode-direction mirror of :func:`decode_frames` (the
+    reference's worker fan-out, ojph_stream_expand/, inverted:
+    sources fan IN to codestreams).
+
+    Process p encodes ``frames[p::num_processes]`` locally (fused
+    TpuEncoder path, batched bursts); with ``gather`` the byte
+    streams — small next to pixel planes, so the all-gather rides
+    DCN cheaply — are exchanged so every process returns the
+    complete, ordered burst, byte-identical to a single-process
+    encode.  With ``gather=False`` non-local entries are ``None``
+    (results stay on their producer)."""
+    import jax
+    from jax.experimental import multihost_utils
+    from ..tpu.encode_pipeline import encode_tpu_batch
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    mine = list(range(pid, len(frames), nproc))
+    local = encode_tpu_batch([frames[i] for i in mine],
+                             **enc_kwargs) if mine else []
+    results: List[Optional[bytes]] = [None] * len(frames)
+    for i, s in zip(mine, local):
+        results[i] = s
+    if not gather or nproc == 1:
+        return results
+    blobs = [r if r is not None else b'' for r in results]
+    all_lens, allb = _gather_bytes(blobs)
+    for i in range(len(frames)):
+        if results[i] is None:
+            owner = i % nproc
+            results[i] = bytes(allb[owner, i, :all_lens[owner, i]])
+    multihost_utils.sync_global_devices('ojtpu_encode_frames')
+    return results
+
+
 def _worker_main(argv=None) -> int:
     """CLI worker for multi-process launches (and the self-test):
 
@@ -156,7 +196,14 @@ def _worker_main(argv=None) -> int:
     for t, (f, planes) in enumerate(zip(frames, results)):
         assert planes is not None, f'frame {t} missing after gather'
         assert np.array_equal(planes[0], f), f'frame {t} mismatch'
-    print('multihost OK process %d/%d: %d frames bit-exact'
+    # encode direction: burst sharded across processes must gather
+    # byte-identical to the single-process streams
+    enc_streams = encode_frames(frames, reversible=True,
+                                num_decomps=2)
+    for t, (s, e) in enumerate(zip(streams, enc_streams)):
+        assert e == s, f'frame {t} encode not byte-identical'
+    print('multihost OK process %d/%d: %d frames bit-exact '
+          'decode + byte-identical encode'
           % (args.process_id, args.num_processes, args.frames),
           flush=True)
     return 0

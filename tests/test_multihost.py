@@ -1,7 +1,9 @@
-"""Real 2-process multi-host (DCN) decode: spawns two worker
-processes that jax.distributed-initialize against a localhost
-coordinator, decode a frame burst sharded across processes, all-gather
-the results and verify bit-exactness (parallel/multihost.py)."""
+"""Real 2-process multi-host (DCN) run: spawns two worker processes
+that jax.distributed-initialize against a localhost coordinator,
+decode a frame burst sharded across processes (all-gathered, bit-
+exact) AND encode the burst sharded across processes (gathered byte
+streams byte-identical to single-process encode)
+(parallel/multihost.py)."""
 import os
 import socket
 import subprocess
