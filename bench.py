@@ -54,6 +54,8 @@ import sys
 import tempfile
 import time
 
+import numpy as np
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 # Persistent XLA compile cache: keeps repeat bench runs out of the
 # (slow, remote on axon) compiler.
@@ -246,20 +248,22 @@ def _timed_device_rounds(runner_call, n_work: int, mp, label,
     returns a jax array whose fetch forces completion.  Requires
     n_work >= 1 + ROUNDS2 * reps."""
     import numpy as np
-    from concurrent.futures import ThreadPoolExecutor
     assert n_work >= 1 + ROUNDS2 * reps, \
         f'{label}: need {1 + ROUNDS2 * reps} distinct bursts, ' \
         f'got {n_work}'
     np.asarray(runner_call(0))          # compile + warm + real sync
     vals = []
-    with ThreadPoolExecutor(4) as pool:
-        for r in range(ROUNDS2):
-            t0 = time.perf_counter()
-            outs = [runner_call(1 + r * reps + i)
-                    for i in range(reps)]
-            list(pool.map(np.asarray, outs))
-            vals.append(mp * reps / (time.perf_counter() - t0))
-            _dbg(f'  {label} r{r}: {vals[-1]:.1f} MP/s')
+    for r in range(ROUNDS2):
+        t0 = time.perf_counter()
+        outs = [runner_call(1 + r * reps + i)
+                for i in range(reps)]
+        # ONE sync: the device executes dispatches in order, so
+        # fetching the LAST rep's (small) result plane forces every
+        # rep in the round; fetching all reps would add reps x the
+        # tunnel's ~25 ms d2h latency to a device-only measurement
+        np.asarray(outs[-1])
+        vals.append(mp * reps / (time.perf_counter() - t0))
+        _dbg(f'  {label} r{r}: {vals[-1]:.1f} MP/s')
     return vals
 
 
@@ -746,7 +750,8 @@ def bench_configs_full():
     write_tiff(tif3, (np.stack(planes3[0], axis=-1)
                       .astype(np.uint16) << 4))
     _timed_encode_device_only(
-        planes3, 4096 * 2160 / 1e6, 'encode_device_only_4k_rgba12_tiles',
+        [[p] for p in planes3],
+        4096 * 2160 / 1e6, 'encode_device_only_4k_rgba12_tiles',
         dict(bit_depth=12, reversible=True, num_decomps=5,
              tile_size=(1024, 1024)),
         base_cmd=[ORACLE_COMPRESS, '-i', tif3,
@@ -771,7 +776,8 @@ def bench_configs_full():
         f.write(b'P5\n8192 4320\n65535\n')
         f.write(planes4[0][0].astype('>u2').tobytes())
     _timed_encode_device_only(
-        planes4, 8192 * 4320 / 1e6, 'encode_device_only_8k_16bit_97',
+        [[p] for p in planes4],
+        8192 * 4320 / 1e6, 'encode_device_only_8k_16bit_97',
         dict(bit_depth=16, reversible=False, base_delta=0.25,
              num_decomps=5),
         base_cmd=[ORACLE_COMPRESS, '-i', pgm4,

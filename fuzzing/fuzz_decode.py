@@ -19,13 +19,34 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 os.environ.setdefault('JAX_PLATFORMS', 'cpu')
 
+# A sitecustomize-installed TPU PJRT plugin may override jax_platforms
+# at interpreter start (beating the env var); force it back so fuzzing
+# never runs per-geometry device compiles on a real chip (see
+# tests/conftest.py for the same dance).
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+
 import numpy as np  # noqa: E402
+
+
+def load_corpus():
+    """Committed foreign-seed corpus: ojph_compress-encoded streams
+    across the config grid plus oracle-validated Part-2 exotics
+    (tools/gen_fuzz_corpus.py) — the analogue of the reference's
+    fuzzing/seed_corpus/."""
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     'seed_corpus')
+    if not os.path.isdir(d):
+        return []
+    return [open(os.path.join(d, f), 'rb').read()
+            for f in sorted(os.listdir(d)) if f.endswith('.j2c')]
 
 
 def make_seeds():
     from openjph_tpu import encode
     rng = np.random.RandomState(7)
-    seeds = []
+    seeds = list(load_corpus())
     img = rng.randint(0, 256, (64, 80)).astype(np.int32)
     seeds.append(encode([img], reversible=True, num_decomps=3,
                         block_size=(32, 32)))
@@ -66,16 +87,23 @@ def mutate(rng, data: bytes) -> bytes:
     return bytes(b)
 
 
-def run(iterations=1000, seed=0, quiet=False, tpu_path=False):
+def run(iterations=1000, seed=0, quiet=False, tpu_path=False,
+        seed_subset=None):
     """``tpu_path`` also decodes through the fused pipeline
     (TpuDecoder: Tier-2 record mode + on-device unstuffing, forced on
-    CPU) — the same raise-only-ValueError/EOFError contract."""
+    CPU) — the same raise-only-ValueError/EOFError contract plus
+    bit-equality with the scalar decoder on accepted streams.
+    ``seed_subset`` limits the pool to every Nth seed: the fused path
+    jit-compiles per geometry, so a bounded subset keeps its runner
+    cache warm instead of compile-storming across the whole corpus."""
     from openjph_tpu import decode
     if tpu_path:
         import openjph_tpu.tpu.pipeline as P
         P._DEVICE_UNSTUFF = True
         from openjph_tpu.tpu.pipeline import decode_tpu
     seeds = make_seeds()
+    if seed_subset:
+        seeds = seeds[::max(1, len(seeds) // seed_subset)][:seed_subset]
     rng = np.random.RandomState(seed)
     stats = {'ok': 0, 'valueerror': 0, 'eof': 0, 'resilient_ok': 0,
              'tpu_ok': 0}
@@ -134,4 +162,5 @@ def run(iterations=1000, seed=0, quiet=False, tpu_path=False):
 if __name__ == '__main__':
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
     sd = int(sys.argv[2]) if len(sys.argv) > 2 else 0
-    run(iters, sd, tpu_path='--tpu' in sys.argv)
+    run(iters, sd, tpu_path='--tpu' in sys.argv,
+        seed_subset=6 if '--tpu' in sys.argv else None)

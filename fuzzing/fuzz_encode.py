@@ -24,6 +24,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 os.environ.setdefault('JAX_PLATFORMS', 'cpu')
 
+# A sitecustomize-installed TPU PJRT plugin may override jax_platforms
+# at interpreter start (beating the env var); force it back so fuzzing
+# never runs per-geometry device compiles on a real chip (see
+# tests/conftest.py for the same dance).
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+
 import numpy as np  # noqa: E402
 
 ORACLE = os.path.join(os.path.dirname(os.path.dirname(

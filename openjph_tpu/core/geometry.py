@@ -266,8 +266,16 @@ def _build_resolution(res_rect: Rect, res_num: int, cod: Cod, qcd: Qcd,
 
 def build_tile_grid(siz: Siz) -> List[Rect]:
     """Tile rectangles in raster order (ojph_codestream_local.cpp:120-218)."""
+    from .message import error as _err
     num_x = ceil_div(siz.xsiz - siz.xtosiz, siz.xtsiz)
     num_y = ceil_div(siz.ysiz - siz.ytosiz, siz.ytsiz)
+    # work-explosion guard, same codes as the reference
+    # (ojph_codestream_local.cpp:120-123); a fuzzed SIZ can otherwise
+    # declare a billion-tile grid and hang the grid walk
+    if num_x * num_y > 65535:
+        _err(0x00030011, 'the number of tiles cannot exceed 65535')
+    if num_x * num_y <= 0:
+        _err(0x00030012, 'the number of tiles cannot be 0')
     tiles = []
     for ty in range(num_y):
         y0 = max(siz.yosiz, siz.ytosiz + ty * siz.ytsiz)

@@ -13,10 +13,12 @@ byte stuffing, the backward VLC byte order, MEL/VLC fuse termination
 and the scup word (ojph_block_encoder.cpp:273-533, 412-441).
 
 Layout and cost model follow the decoder kernel: lanes on (S, 128)
-vregs, grid over quad rows, writer state in VMEM scratch.  A bit
-write is buffered in a 160-bit five-limb window per stream; a word is
-scattered to the output plane (cost ~ W vregs) only when some lane's
-window runs high, so scatter work tracks actual emission.
+vregs, grid over quad rows, writer state in VMEM scratch.  Bit writes
+buffer in per-stream multi-limb windows (MEL/VLC 160 bits, MagSgn
+544); completed words flush to the output planes on a STATIC schedule
+(MagSgn/VLC every 2nd pair, MEL every 4th) through a constant-trip
+page window — dynamic-trip loops and conds cost ~4-5 us each on v5e,
+so the flush path contains none in the common case (see _flush_many).
 """
 from __future__ import annotations
 
@@ -63,26 +65,32 @@ def _mel_exp(k):
 
 
 # ---------------------------------------------------------------------------
-# Five-limb bit writer.  State: (w0..w4, nb, wi, ovf); bits appended
-# LSB-first at position nb; completed words scatter to the output
-# plane at word index wi per lane.
+# Variable-limb bit writer.  State: (w0..w{NL-1}, nb, wi, ovf); bits
+# appended LSB-first at position nb; completed words scatter to the
+# output plane at word index wi per lane.  NL = len(state) - 3: MEL
+# and VLC carry 5 limbs (160 bits), MagSgn 17 (544 bits) so TWO
+# pairs' <=496 appended bits accumulate between static flush points
+# — the per-quad cond-gated flush was ~84% of kernel time in round 3
+# (xprof), and its dynamic-trip page loops ~70% in round 4.
 # ---------------------------------------------------------------------------
 
-_NLIMB = 5
-
-
-def _writer_zero(S):
-    z = jnp.zeros((S, 128), _U32)
-    zi = jnp.zeros((S, 128), jnp.int32)
-    return (z, z, z, z, z, zi, zi, jnp.zeros((S, 128), _U32))
+_NLIMB = 5          # MEL/VLC window limbs
+_NLIMB_MS = 17      # MagSgn window limbs
 
 
 def _append(st, v, ln):
-    """Append ln (per-lane, 0..31) bits of v at position nb."""
-    w = list(st[:_NLIMB])
-    nb, wi, ovf = st[_NLIMB], st[_NLIMB + 1], st[_NLIMB + 2]
+    """Append ln (per-lane, 0..31) bits of v at position nb.
+
+    Bits that would land beyond the window's last limb are dropped by
+    the masked limb writes, so that condition raises the lane's ovf
+    flag (-> scalar fallback for the burst); it only occurs when the
+    flush deferral path starves a lane (see _flush_many)."""
+    NL = len(st) - 3
+    w = list(st[:NL])
+    nb, wi, ovf = st[NL], st[NL + 1], st[NL + 2]
     ln = ln.astype(jnp.int32) if hasattr(ln, 'astype') \
         else jnp.full_like(nb, ln)
+    ovf = ovf | jnp.where(nb + ln > 32 * NL, _u32(1), _u32(0))
     v = v & ((_u32(1) << jnp.clip(ln, 0, 31).astype(_U32)) - _u32(1))
     limb = nb >> 5
     off = (nb & 31).astype(_U32)
@@ -91,7 +99,7 @@ def _append(st, v, ln):
                        v >> (_u32(32) - jnp.clip(nb & 31, 1, 31)
                              .astype(_U32)))
     out = []
-    for k in range(_NLIMB):
+    for k in range(NL):
         x = w[k]
         x = jnp.where(limb == k, x | lo_ins, x)
         if k > 0:
@@ -108,52 +116,40 @@ def _append(st, v, ln):
 # measured 14% faster than 32 on v5e (xprof: the flush passes are
 # ~84% of this kernel; smaller pages cut their data movement).
 _PAGE = 8
+# Extra lane-spread pages covered by the constant-trip flush window
+# beyond the npop rows themselves; lanes whose words fall above the
+# window DEFER to the next flush (the window tracks the lowest
+# pending lane, so stragglers are served as soon as faster lanes
+# drain below 32 pending bits).  Sustained three-way spread beyond
+# the window overflows a lane's bit window instead, which flags ovf
+# and falls back to the scalar encoder for the burst.
+_SPAN_PAGES = 4
 
 
-def _flush_one(st, out_ref, nwords: int):
-    """Scatter the completed low word of every lane with nb >= 32."""
-    w = list(st[:_NLIMB])
-    nb, wi, ovf = st[_NLIMB], st[_NLIMB + 1], st[_NLIMB + 2]
-    doit = nb >= 32
-    ovf = ovf | jnp.where(doit & (wi >= nwords), _u32(1), _u32(0))
-    wic = jnp.minimum(wi, nwords - 1)
-    if nwords <= _PAGE or nwords % _PAGE:
-        iota = lax.broadcasted_iota(jnp.int32, (nwords,) + nb.shape, 0)
-        m = (iota == wic[None]) & doit[None]
-        out_ref[:] = jnp.where(m, w[0][None], out_ref[:])
-    else:
-        pmin = jnp.min(jnp.where(doit, wic, nwords - 1)) // _PAGE
-        pmax = jnp.max(jnp.where(doit, wic, 0)) // _PAGE
-        w0 = w[0]
-
-        def body(pg, carry):
-            rows = out_ref[pl.ds(pg * _PAGE, _PAGE)]
-            iota = lax.broadcasted_iota(
-                jnp.int32, (_PAGE,) + nb.shape, 0) + pg * _PAGE
-            m = (iota == wic[None]) & doit[None]
-            out_ref[pl.ds(pg * _PAGE, _PAGE)] = \
-                jnp.where(m, w0[None], rows)
-            return carry
-
-        lax.fori_loop(pmin, pmax + 1, body, 0)
-    nw = [jnp.where(doit, w[k + 1] if k + 1 < _NLIMB
-                    else jnp.zeros_like(w[k]), w[k])
-          for k in range(_NLIMB)]
-    return (*nw, jnp.where(doit, nb - 32, nb),
-            jnp.where(doit, wi + 1, wi), ovf)
-
-
-def _flush_many(st, out_ref, nwords: int, npop: int):
+def _flush_many(st, out_ref, nwords: int, npop: int,
+                dyn: bool = False):
     """Pop up to ``npop`` completed words per lane in ONE page pass.
 
     The per-word flush costs a masked page read-modify-write each; a
     stream that appends >32 bits between flush points (MagSgn: up to
-    124 per quad) pays it per word.  Batching the pops writes rows
+    248 per pair) pays it per word.  Batching the pops writes rows
     [wi, wi+kpop) in the same page pass with one extra select per
-    extra word — measured ~2x fewer vector ops and (with the batched
-    call sites) ~4x fewer lax.cond gates per pair."""
-    w = list(st[:_NLIMB])
-    nb, wi, ovf = st[_NLIMB], st[_NLIMB + 1], st[_NLIMB + 2]
+    extra word.  Any dynamic-TRIP-COUNT scf.for (or a lax.cond
+    containing one) costs ~4-5 us on v5e no matter how little it does
+    — per-flush dynamic page loops were ~70% of this kernel (xprof:
+    11.9 ms vs 3.2 ms static) — so the page pass is a CONSTANT-trip
+    window of k_eff pages at a dynamic clamped base (dynamic pl.ds
+    starts are cheap).  The window starts at the lowest pending
+    lane's page; lanes whose words fall above it DEFER to the next
+    flush, by which time the window has risen (faster lanes drain
+    below 32 pending bits and leave the bound).  A lane deferred so
+    long that its bit window overflows raises ovf via _append and the
+    burst falls back to the scalar encoder.  When every lane is idle
+    the masks are all false and the window writes pages back
+    unchanged, so callers need no jnp.any-gated lax.cond."""
+    NL = len(st) - 3
+    w = list(st[:NL])
+    nb, wi, ovf = st[NL], st[NL + 1], st[NL + 2]
     kpop = jnp.minimum(nb >> 5, npop)
     doit = kpop > 0
     ovf = ovf | jnp.where(doit & (wi + kpop > nwords), _u32(1),
@@ -161,69 +157,80 @@ def _flush_many(st, out_ref, nwords: int, npop: int):
     wic = jnp.minimum(wi, nwords - 1)
     kc = jnp.minimum(kpop, nwords - wic)   # clamp writes in bounds
 
-    def write_rows(rows, base):
+    def write_rows(rows, base, serve):
         iota = lax.broadcasted_iota(
             jnp.int32, rows.shape, 0) + base
         rel = iota - wic[None]
         val = rows
         for j in range(npop):
-            mj = (rel == j) & (kc[None] > j) & doit[None]
+            mj = (rel == j) & (kc[None] > j) & serve[None]
             val = jnp.where(mj, w[j][None], val)
         return val
 
     if nwords <= _PAGE or nwords % _PAGE:
-        out_ref[:] = write_rows(out_ref[:], 0)
-    else:
+        out_ref[:] = write_rows(out_ref[:], 0, doit)
+    elif dyn:
+        # exact dynamic-range pass, no deferral: used ONCE per stream
+        # per lane tile by the end-of-block drain, where a deferral
+        # could starve a lane with no appends left to flag it
         pmin = jnp.min(jnp.where(doit, wic, nwords - 1)) // _PAGE
         pmax = jnp.max(jnp.where(doit, wic + kc - 1, 0)) // _PAGE
 
         def body(pg, carry):
             rows = out_ref[pl.ds(pg * _PAGE, _PAGE)]
             out_ref[pl.ds(pg * _PAGE, _PAGE)] = \
-                write_rows(rows, pg * _PAGE)
+                write_rows(rows, pg * _PAGE, doit)
             return carry
 
         lax.fori_loop(pmin, pmax + 1, body, 0)
-    neww = []
-    for k in range(_NLIMB):
-        x = w[k]
-        for j in range(1, npop + 1):
-            src = w[k + j] if k + j < _NLIMB else jnp.zeros_like(x)
-            x = jnp.where(kpop == j, src, x)
-        neww.append(x)
+    else:
+        pmin = jnp.min(jnp.where(doit, wic, nwords - 1)) // _PAGE
+        npages = nwords // _PAGE
+        k_eff = min(1 + (npop + _PAGE - 2) // _PAGE + _SPAN_PAGES,
+                    npages)
+        base = jnp.minimum(pmin, npages - k_eff)
+        # defer lanes whose words don't fit the window
+        serve = doit & ((wic + kc - 1) // _PAGE <= base + k_eff - 1)
+        kpop = jnp.where(serve, kpop, 0)
+        kc = jnp.where(serve, kc, 0)
+        for pg in range(k_eff):
+            rows = out_ref[pl.ds((base + pg) * _PAGE, _PAGE)]
+            out_ref[pl.ds((base + pg) * _PAGE, _PAGE)] = \
+                write_rows(rows, (base + pg) * _PAGE, serve)
+    # shift the window down by kpop limbs: binary decomposition
+    # (log2(npop) masked passes instead of NL*npop equality selects)
+    neww = list(w)
+    sh = 1
+    while sh <= npop:
+        cond = (kpop & sh) != 0
+        neww = [jnp.where(cond,
+                          neww[k + sh] if k + sh < NL
+                          else jnp.zeros_like(neww[k]), neww[k])
+                for k in range(NL)]
+        sh <<= 1
     return (*neww, nb - (kpop << 5), wi + kpop, ovf)
 
 
-def _flush_burst(st, out_ref, nwords: int, npop: int):
-    """Conditional batched flush at a call-site boundary (end of a
-    quad's MagSgn run / end of a pair's VLC+MEL emission)."""
-    def yes(s):
-        return _flush_many(s, out_ref, nwords, npop)
-
-    return lax.cond(jnp.any(st[_NLIMB] >= 32), yes, lambda s: s, st)
-
-
 def _drain(st, out_ref, nwords: int):
-    """Flush everything including a partial last word (end of block)."""
-    for _ in range(_NLIMB):
-        def yes(s):
-            # promote partial words to full so _flush_one takes them
-            nb, wi, ovf = s[_NLIMB], s[_NLIMB + 1], s[_NLIMB + 2]
-            nb2 = jnp.where((nb > 0) & (nb < 32), 32, nb)
-            s = (*s[:_NLIMB], nb2, wi, ovf)
-            return _flush_one(s, out_ref, nwords)
-
-        st = lax.cond(jnp.any(st[_NLIMB] > 0), yes, lambda s: s, st)
-    return st
+    """Flush everything including a partial last word (end of block):
+    promote the trailing partial word to a full one, then ONE exact
+    dynamic-range flush popping up to the whole window."""
+    NL = len(st) - 3
+    nb, wi, ovf = st[NL], st[NL + 1], st[NL + 2]
+    nb2 = (nb + 31) & ~31
+    return _flush_many((*st[:NL], nb2, wi, ovf), out_ref, nwords, NL,
+                       dyn=True)
 
 
 # ---------------------------------------------------------------------------
 # Kernel
 # ---------------------------------------------------------------------------
 
-# scratch rows in the (3*8 + 4, S, 128) u32 state buffer
-_MELW, _VLCW, _MSW = 0, 8, 16        # 8 rows each: w0..w4, nb, wi, ovf
-_MRUN, _MK, _CQ, _MAXE = 24, 25, 26, 27
+# scratch rows in the (33, S, 128) u32 state buffer: MEL/VLC writers
+# carry 5 limbs + nb/wi/ovf (8 rows each), MagSgn 10 limbs + 3 (13)
+_MELW, _VLCW, _MSW = 0, 8, 16
+_MRUN, _MK, _CQ, _MAXE = 36, 37, 38, 39
+_STATE_ROWS_ENC = 40
 
 
 def _enc_tables_chunks():
@@ -243,18 +250,19 @@ def _make_kernel(qw: int, qh: int, S: int, wp: int,
                  wm: int, wv: int, ws: int):
     pairs = (qw + 1) >> 1
 
-    def ld_writer(state, base):
+    def ld_writer(state, base, nl=_NLIMB):
         return tuple(
-            state[base + k] if k not in (5, 6)
+            state[base + k] if k not in (nl, nl + 1)
             else state[base + k].astype(jnp.int32)
-            for k in range(7)) + (state[base + 7],)
+            for k in range(nl + 2)) + (state[base + nl + 2],)
 
     def st_writer(state, base, st):
-        for k in range(_NLIMB):
+        nl = len(st) - 3
+        for k in range(nl):
             state[base + k] = st[k]
-        state[base + 5] = st[5].astype(_U32)
-        state[base + 6] = st[6].astype(_U32)
-        state[base + 7] = st[7]
+        state[base + nl] = st[nl].astype(_U32)
+        state[base + nl + 1] = st[nl + 1].astype(_U32)
+        state[base + nl + 2] = st[nl + 2]
 
     def kernel(buf, p_ref, qhl_ref, vlct, uvt,
                melw, vlcw, msw, meta_out,
@@ -283,7 +291,7 @@ def _make_kernel(qw: int, qh: int, S: int, wp: int,
         init = r == 0
         mel = ld_writer(state, _MELW)
         vlc = ld_writer(state, _VLCW)
-        ms = ld_writer(state, _MSW)
+        ms = ld_writer(state, _MSW, _NLIMB_MS)
         mrun = state[_MRUN].astype(jnp.int32)
         mk = state[_MK].astype(jnp.int32)
         c_q = jnp.where(init, zero, state[_CQ])
@@ -341,7 +349,7 @@ def _make_kernel(qw: int, qh: int, S: int, wp: int,
                           _u32(0))
             return sig, e, s
 
-        def pair_body(j, carry):
+        def pair_once(j, carry, fl_ms, fl_vlc, fl_mel):
             mel, vlc, ms, mrun, mk, c_q, max_e = carry
             row_start = j == 0
             second = (2 * j + 1) < qw
@@ -433,8 +441,8 @@ def _make_kernel(qw: int, qh: int, S: int, wp: int,
                     jnp.minimum(m.astype(jnp.int32), 31), _U32)
                 m = jnp.where(live, m, _u32(0))
                 ms = _append(ms, ss[k], m.astype(jnp.int32))
-            # one batched flush covers the quad's <=124 appended bits
-            ms = _flush_burst(ms, msw, ws, 4)
+            # no mid-pair flush: the 320-bit MagSgn window holds both
+            # quads' <=248 bits until the single pair-end flush
 
             # ---- quad 1 ----
             c_q1 = jnp.where(
@@ -483,7 +491,6 @@ def _make_kernel(qw: int, qh: int, S: int, wp: int,
                     jnp.minimum(m.astype(jnp.int32), 31), _U32)
                 m = jnp.where(live & second, m, _u32(0))
                 ms = _append(ms, ss[4 + k], m.astype(jnp.int32))
-            ms = _flush_burst(ms, msw, ws, 4)
 
             # state written by quad1 only when it exists
             e_val[pl.ds(le + 1, 1)] = jnp.where(
@@ -527,11 +534,23 @@ def _make_kernel(qw: int, qh: int, S: int, wp: int,
                 vlc = _append(vlc, cw,
                               jnp.where(live, ll, _u32(0))
                               .astype(jnp.int32))
-            # one batched flush per pair drains VLC (<=40 bits/pair)
-            # and MEL (<=18): residuals stay well under the 160-bit
-            # window (see _flush_many)
-            vlc = _flush_burst(vlc, vlcw, wv, 2)
-            mel = _flush_burst(mel, melw, wm, 1)
+            # STATIC flush scheduling: each dynamic control-flow
+            # region (a lax.cond gate or a dynamic-range fori_loop)
+            # costs ~1.8 us on v5e regardless of its work — with
+            # per-pair cond-gated flushes that overhead was ~75% of
+            # the kernel (xprof: 12.0 ms vs 3.2 ms with static page
+            # loops).  The pair loop therefore runs as an outer loop
+            # over 4-pair groups with the 4 pairs UNROLLED, so flush
+            # points are static: MagSgn+VLC after pairs 1 and 3 of
+            # each group (2-pair gap: MagSgn nb <= 31+496 fits the
+            # 17-limb window, VLC nb <= 31+80 < 160), MEL after pair
+            # 3 (4-pair gap: nb <= 31+72 < 160).
+            if fl_ms:
+                ms = _flush_many(ms, msw, ws, 16)
+            if fl_vlc:
+                vlc = _flush_many(vlc, vlcw, wv, 3)
+            if fl_mel:
+                mel = _flush_many(mel, melw, wm, 3)
 
             # next pair's context
             c_q = jnp.where(
@@ -544,9 +563,26 @@ def _make_kernel(qw: int, qh: int, S: int, wp: int,
                           c_q1_base))
             return (mel, vlc, ms, mrun, mk, c_q, max_e)
 
-        mel, vlc, ms, mrun, mk, c_q, max_e = lax.fori_loop(
-            0, pairs, pair_body,
-            (mel, vlc, ms, mrun, mk, c_q, max_e))
+        carry = (mel, vlc, ms, mrun, mk, c_q, max_e)
+        G, R = pairs // 4, pairs % 4
+
+        def pair_group(g, carry):
+            j0 = 4 * g
+            carry = pair_once(j0, carry, False, False, False)
+            carry = pair_once(j0 + 1, carry, True, True, False)
+            carry = pair_once(j0 + 2, carry, False, False, False)
+            carry = pair_once(j0 + 3, carry, True, True, True)
+            return carry
+
+        if G:
+            carry = lax.fori_loop(0, G, pair_group, carry)
+        # static tail (< 4 pairs): keep the 2-pair MagSgn/VLC cadence,
+        # then flush everything so no gap straddles the row boundary
+        for i in range(R):
+            lastt = i == R - 1
+            carry = pair_once(4 * G + i, carry,
+                              lastt or i == 1, lastt or i == 1, lastt)
+        mel, vlc, ms, mrun, mk, c_q, max_e = carry
 
         @pl.when(r == qh - 1)
         def _finish():
@@ -559,7 +595,8 @@ def _make_kernel(qw: int, qh: int, S: int, wp: int,
             melbits = (mel3[_NLIMB + 1] * 32 + mel3[_NLIMB]) \
                 .astype(_U32)
             vlcbits = (vlc[_NLIMB + 1] * 32 + vlc[_NLIMB]).astype(_U32)
-            msbits = (ms[_NLIMB + 1] * 32 + ms[_NLIMB]).astype(_U32)
+            msbits = (ms[_NLIMB_MS + 1] * 32 + ms[_NLIMB_MS]) \
+                .astype(_U32)
             meld = _drain(mel3, melw, wm)
             vlcd = _drain(vlc, vlcw, wv)
             msd = _drain(ms, msw, ws)
@@ -567,7 +604,7 @@ def _make_kernel(qw: int, qh: int, S: int, wp: int,
             meta_out[1] = vlcbits
             meta_out[2] = msbits
             meta_out[3] = meld[_NLIMB + 2] | vlcd[_NLIMB + 2] \
-                | msd[_NLIMB + 2]
+                | msd[_NLIMB_MS + 2]
 
         @pl.when(r < qh - 1)
         def _carry():
@@ -601,7 +638,7 @@ def _lane_tile(S: int, qw: int, wp: int, wm: int, wv: int,
     caller pads S up to a tile multiple)."""
     qw2 = ((qw + 1) // 2) * 2
     io_rows = 2 * wp + 2 + (wm + wv + ws + 4)        # double-buffered
-    scratch_rows = 28 + 2 * (2 * qw2 + 4)
+    scratch_rows = _STATE_ROWS_ENC + 2 * (2 * qw2 + 4)
     per_sb = (2 * io_rows + scratch_rows) * 128 * 4
     sb_max = max(1, _VMEM_BUDGET // per_sb)
     if S <= sb_max:
@@ -669,7 +706,8 @@ def _run_encode_pallas(buf, p, qhl, dims, caps, nlanes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         scratch_shapes=[
-            pltpu.VMEM((28, SB, 128), jnp.uint32),      # writers + ctx
+            pltpu.VMEM((_STATE_ROWS_ENC, SB, 128),
+                       jnp.uint32),                     # writers + ctx
             pltpu.VMEM((2 * ((qw + 1) // 2) * 2 + 4, SB, 128),
                        jnp.uint32),                      # e_val rows
             pltpu.VMEM((2 * ((qw + 1) // 2) * 2 + 4, SB, 128),
