@@ -153,7 +153,30 @@ def decode_codeblock(coded_data: bytes, missing_msbs: int, num_passes: int,
                      stripe_causal: bool = False) -> np.ndarray:
     """Decode one HT codeblock to a [height, width] uint32 sign-magnitude
     array (sign in bit 31, magnitude scaled so coded bitplanes end at
-    bit p = 30 - missing_msbs)."""
+    bit p = 30 - missing_msbs).
+
+    Dispatches to the C++ port (native.decode_codeblock — the host
+    path for >30-bit-plane blocks and per-block fallbacks runs at
+    oracle-class speed there) and falls back to the pure-Python
+    reference below; tests/test_native_guards.py pins the two
+    bit-identical."""
+    from .. import native
+    out = native.decode_codeblock(coded_data, missing_msbs, num_passes,
+                                  lengths1, lengths2, width, height,
+                                  stripe_causal) \
+        if native.have_native() else None
+    if out is not None:
+        return out
+    return decode_codeblock_py(coded_data, missing_msbs, num_passes,
+                               lengths1, lengths2, width, height,
+                               stripe_causal)
+
+
+def decode_codeblock_py(coded_data: bytes, missing_msbs: int,
+                        num_passes: int, lengths1: int, lengths2: int,
+                        width: int, height: int,
+                        stripe_causal: bool = False) -> np.ndarray:
+    """Pure-Python reference decode (see decode_codeblock)."""
     t = get_tables()
     vlc_tbl0, vlc_tbl1 = t['dec_vlc0'], t['dec_vlc1']
     uvlc_tbl0, uvlc_tbl1 = t['dec_uvlc0'], t['dec_uvlc1']

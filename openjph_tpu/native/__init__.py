@@ -101,6 +101,10 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        lib.decode_codeblock.restype = ctypes.c_int
+        lib.decode_codeblock.argtypes = [
+            ctypes.c_void_p] + [ctypes.c_int64] * 7 + \
+            [ctypes.c_void_p] * 6
         _lib = lib
         return _lib
 
@@ -344,3 +348,48 @@ def pack_cleanup_segments(mel_e, vlc_c, vlc_l, ms_v, ms_l, pairs_real,
         pairs_real.ctypes.data, out.ctypes.data, out_stride,
         lens.ctypes.data)
     return out, lens
+
+
+_DEC_ERRORS = {
+    -1: (0x00080001, 'invalid scup'),
+    -2: (0x00080002, 'wrong codeblock length'),
+    -3: (0x00080003, 'more than 3 coding passes not supported'),
+    -4: (0x00080004, '64 bits insufficient for this codeblock'),
+    -5: (0x00080005, 'U_q exceeds missing_msbs + 2'),
+}
+
+
+def decode_codeblock(coded_data, missing_msbs, num_passes, len1, len2,
+                     width, height, stripe_causal=False):
+    """C++ scalar HT block decode (port of coding/decoder.py, the
+    64-bit-capable host path); returns the sign-magnitude array
+    (uint32 for <=30 bit planes, uint64 beyond) or None when the
+    native library is unavailable.  Raises ValueError on the same
+    malformed-stream conditions as the Python reference."""
+    lib = _load()
+    if lib is None:
+        return None
+    from ..coding.tables import get_tables
+    t = get_tables()
+    data = np.ascontiguousarray(
+        np.frombuffer(bytes(coded_data), np.uint8))
+    qh = (height + 1) >> 1
+    out = np.zeros((qh * 2, width), np.uint64)
+    rc = lib.decode_codeblock(
+        data.ctypes.data, int(missing_msbs), int(num_passes),
+        int(len1), int(len2), int(width), int(height),
+        int(bool(stripe_causal)),
+        np.ascontiguousarray(t['dec_vlc0'], np.uint16).ctypes.data,
+        np.ascontiguousarray(t['dec_vlc1'], np.uint16).ctypes.data,
+        np.ascontiguousarray(t['dec_uvlc0'], np.uint16).ctypes.data,
+        np.ascontiguousarray(t['dec_uvlc1'], np.uint16).ctypes.data,
+        np.ascontiguousarray(t['dec_uvlc0_bias'],
+                             np.uint8).ctypes.data,
+        out.ctypes.data)
+    if rc < 0:
+        code, msg = _DEC_ERRORS[rc]
+        raise ValueError(f'ojph error 0x{code:08X}: {msg}')
+    out = out[:height]
+    if missing_msbs < 30:
+        return out.astype(np.uint32)
+    return out

@@ -1270,4 +1270,487 @@ void pack_from_dense(int64_t n, const uint32_t* dense,
   }
 }
 
+
+// ---------------------------------------------------------------------------
+// Scalar HT block DECODER (Cleanup + SigProp + MagRef), 32- and
+// 64-bit sample paths.  This is a line-faithful C++ port of THIS
+// REPO'S reference-Python decoder (openjph_tpu/coding/decoder.py,
+// itself bit-exact with ojph_decode_codeblock32/64) — the host path
+// for >30-bit-plane codeblocks and per-block fallbacks, where the
+// Python scalar loop runs ~0.2 MP/s and this runs oracle-class.
+// Tables are passed in from Python (coding/data/vlc_tables.npz).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int kMelE[13] = {0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 4, 5};
+
+struct MelDec {
+  const uint8_t* buf;
+  int64_t pos, size;
+  uint64_t tmp = 0;
+  int bits = 0;
+  bool unstuff = false;
+  int k = 0;
+  MelDec(const uint8_t* d, int64_t lcup, int64_t scup)
+      : buf(d), pos(lcup - scup), size(scup - 1) {}
+  inline void read_byte() {
+    uint32_t d;
+    if (size > 0) {
+      d = buf[pos];
+      if (size == 1) d |= 0xF;
+      ++pos;
+      --size;
+    } else {
+      d = 0xFF;
+    }
+    const int d_bits = 8 - (unstuff ? 1 : 0);
+    tmp = (tmp << d_bits) | d;
+    bits += d_bits;
+    unstuff = (d == 0xFF);
+  }
+  inline int read_bit() {
+    if (bits == 0) read_byte();
+    --bits;
+    return (tmp >> bits) & 1;
+  }
+  inline int get_run() {
+    const int ev = kMelE[k];
+    int run;
+    if (read_bit()) {
+      run = ((1 << ev) - 1) << 1;
+      k = k < 12 ? k + 1 : 12;
+    } else {
+      int v = 0;
+      for (int i = 0; i < ev; ++i) v = (v << 1) | read_bit();
+      run = (v << 1) + 1;
+      k = k > 0 ? k - 1 : 0;
+    }
+    return run;
+  }
+};
+
+struct RevRd {
+  const uint8_t* buf;
+  int64_t pos, size;
+  uint64_t tmp;
+  int bits;
+  bool unstuff;
+  RevRd(const uint8_t* d, int64_t lcup, int64_t scup) : buf(d) {
+    pos = lcup - 2;
+    const uint32_t b = buf[pos];
+    --pos;
+    tmp = b >> 4;
+    bits = 4 - (((tmp & 7) == 7) ? 1 : 0);
+    unstuff = (b | 0xF) > 0x8F;
+    size = scup - 2;
+  }
+  // MagRef variant constructed via init_mrp below
+  RevRd(const uint8_t* d, int64_t lcup, int64_t len2, int)
+      : buf(d), pos(lcup + len2 - 1), size(len2), tmp(0), bits(0),
+        unstuff(true) {}
+  inline void read_byte() {
+    uint32_t d;
+    if (size > 0) {
+      d = buf[pos];
+      --pos;
+      --size;
+    } else {
+      d = 0;
+    }
+    const int d_bits = 8 - ((unstuff && (d & 0x7F) == 0x7F) ? 1 : 0);
+    tmp |= static_cast<uint64_t>(d) << bits;
+    bits += d_bits;
+    unstuff = d > 0x8F;
+  }
+  inline uint32_t fetch() {
+    while (bits < 32) read_byte();
+    return static_cast<uint32_t>(tmp);
+  }
+  inline void advance(int n) {
+    tmp >>= n;
+    bits -= n;
+  }
+};
+
+struct FwdRd {
+  const uint8_t* buf;
+  int64_t pos, size;
+  uint32_t fill;
+  unsigned __int128 tmp = 0;
+  int bits = 0;
+  int unstuff = 0;
+  FwdRd(const uint8_t* d, int64_t p, int64_t s, uint32_t f)
+      : buf(d), pos(p), size(s), fill(f) {}
+  inline void read_byte() {
+    uint32_t d;
+    if (size > 0) {
+      d = buf[pos];
+      ++pos;
+    } else {
+      d = fill;
+    }
+    --size;
+    tmp |= static_cast<unsigned __int128>(d) << bits;
+    bits += 8 - unstuff;
+    unstuff = (d == 0xFF) ? 1 : 0;
+  }
+  inline uint64_t fetch(int n) {
+    while (bits < n) read_byte();
+    if (n >= 64) return static_cast<uint64_t>(tmp);
+    return static_cast<uint64_t>(tmp) & ((1ull << n) - 1);
+  }
+  inline void advance(int n) {
+    tmp >>= n;
+    bits -= n;
+  }
+};
+
+inline int bit_length64(uint64_t v) { return 64 - __builtin_clzll(v); }
+
+}  // namespace
+
+// Decode one HT codeblock into out (uint64 sign-magnitude, row-major
+// [ (qh*2) x width ], caller slices to height rows).  Returns 0 on
+// success or a negative error code:
+//   -1 invalid scup            -2 wrong codeblock length
+//   -3 >3 passes               -4 64 bits insufficient
+//   -5 U_q exceeds mmsbp2
+int decode_codeblock(
+    const uint8_t* data, int64_t missing_msbs, int64_t num_passes,
+    int64_t len1, int64_t len2, int64_t width, int64_t height,
+    int64_t stripe_causal,
+    const uint16_t* vlc_tbl0, const uint16_t* vlc_tbl1,
+    const uint16_t* uvlc_tbl0, const uint16_t* uvlc_tbl1,
+    const uint8_t* uvlc_bias0, uint64_t* out) {
+  if (num_passes > 1 && len2 == 0) num_passes = 1;
+  if (num_passes > 3) return -3;
+  const int B = missing_msbs < 30 ? 32 : 64;
+  if (missing_msbs >= 62) return -4;
+  if (missing_msbs == (B == 32 ? 29 : 61)) num_passes = 1;
+  const int p = (B == 32 ? 30 : 62) - static_cast<int>(missing_msbs);
+  const int SIGN = B - 1;
+  const uint64_t MASK = B == 64 ? ~0ull : 0xFFFFFFFFull;
+  if (len1 < 2) return -2;
+
+  const int64_t lcup = len1;
+  const int64_t scup =
+      (static_cast<int64_t>(data[lcup - 1]) << 4) + (data[lcup - 2] & 0xF);
+  if (scup < 2 || scup > lcup || scup > 4079) return -1;
+
+  const int64_t qw = (width + 1) >> 1;
+  const int64_t qh = (height + 1) >> 1;
+  std::vector<uint32_t> inf(qh * (qw + 3), 0);
+  std::vector<uint32_t> u_q_arr(qh * (qw + 1), 0);
+  const int64_t mmsbp2 = missing_msbs + 2;
+  std::memset(out, 0, sizeof(uint64_t) * (qh * 2) * width);
+
+  // ---- step 1: MEL + VLC + UVLC -> per-quad records ----
+  MelDec mel(data, lcup, scup);
+  RevRd vlc(data, lcup, scup);
+  int run = mel.get_run();
+  for (int64_t qy = 0; qy < qh; ++qy) {
+    uint32_t c_q = 0;
+    const bool initial = qy == 0;
+    const uint16_t* vtbl = initial ? vlc_tbl0 : vlc_tbl1;
+    const uint32_t* above = qy > 0 ? &inf[(qy - 1) * (qw + 3)] : nullptr;
+    uint32_t* row = &inf[qy * (qw + 3)];
+    uint32_t* urow = &u_q_arr[qy * (qw + 1)];
+    for (int64_t qx2 = 0; qx2 < qw; qx2 += 2) {
+      if (!initial) {
+        c_q |= (above[qx2] & 0xA0) << 2;
+        c_q |= (above[qx2 + 1] & 0x20) << 4;
+      }
+      uint32_t t0 = vtbl[c_q + (vlc.fetch() & 0x7F)];
+      if (c_q == 0) {
+        run -= 2;
+        t0 = (run == -1) ? t0 : 0;
+        if (run < 0) run = mel.get_run();
+      }
+      row[qx2] = t0;
+      if (initial) {
+        c_q = ((t0 & 0x10) << 3) | ((t0 & 0xE0) << 2);
+      } else {
+        c_q = ((t0 & 0x40) << 2) | ((t0 & 0x80) << 1);
+        c_q |= above[qx2] & 0x80;
+        c_q |= (above[qx2 + 1] & 0xA0) << 2;
+        c_q |= (above[qx2 + 2] & 0x20) << 4;
+      }
+      vlc.advance(t0 & 0x7);
+
+      const bool second_exists = (qx2 + 1) < qw;
+      uint32_t t1 = vtbl[c_q + (vlc.fetch() & 0x7F)];
+      if (c_q == 0 && second_exists) {
+        run -= 2;
+        t1 = (run == -1) ? t1 : 0;
+        if (run < 0) run = mel.get_run();
+      }
+      t1 = second_exists ? t1 : 0;
+      row[qx2 + 1] = t1;
+      if (initial) {
+        c_q = ((t1 & 0x10) << 3) | ((t1 & 0xE0) << 2);
+      } else {
+        c_q = ((t1 & 0x40) << 2) | ((t1 & 0x80) << 1);
+        c_q |= above[qx2 + 1] & 0x80;
+      }
+      vlc.advance(t1 & 0x7);
+
+      uint32_t uvlc_mode = ((t0 & 0x8) << 3) | ((t1 & 0x8) << 4);
+      uint32_t uvlc_entry;
+      uint32_t u_bias = 0;
+      if (initial) {
+        if (uvlc_mode == 0xC0) {
+          run -= 2;
+          uvlc_mode += (run == -1) ? 0x40 : 0;
+          if (run < 0) run = mel.get_run();
+        }
+        const uint32_t u_idx = uvlc_mode + (vlc.fetch() & 0x3F);
+        uvlc_entry = uvlc_tbl0[u_idx];
+        u_bias = uvlc_bias0[u_idx];
+      } else {
+        uvlc_entry = uvlc_tbl1[uvlc_mode + (vlc.fetch() & 0x3F)];
+      }
+      vlc.advance(uvlc_entry & 0x7);
+      uvlc_entry >>= 3;
+      const uint32_t length = uvlc_entry & 0xF;
+      const uint32_t tmpv = vlc.fetch() & ((1u << length) - 1);
+      vlc.advance(length);
+      uvlc_entry >>= 4;
+      const uint32_t len0 = uvlc_entry & 0x7;
+      uvlc_entry >>= 3;
+      const uint32_t kappa = initial ? 1 : 0;
+      uint32_t u0 = kappa + (uvlc_entry & 7) + (tmpv & ~(0xFFu << len0));
+      uint32_t u1 = kappa + (uvlc_entry >> 3) + (tmpv >> len0);
+      if (B == 64) {
+        // u_q extension for >32 (ojph_block_decoder64.cpp:1000-1010)
+        if (static_cast<int64_t>(u0 - kappa) - (u_bias & 0x3) > 32) {
+          u0 += (vlc.fetch() & 0xF) << 2;
+          vlc.advance(4);
+        }
+        if (static_cast<int64_t>(u1 - kappa) - (u_bias >> 2) > 32) {
+          u1 += (vlc.fetch() & 0xF) << 2;
+          vlc.advance(4);
+        }
+      }
+      urow[qx2] = u0;
+      if (second_exists) urow[qx2 + 1] = u1;
+    }
+  }
+
+  // ---- step 2: MagSgn -> sample values ----
+  FwdRd magsgn(data, 0, lcup - scup, 0xFF);
+  std::vector<uint64_t> v_n_scratch(qw + 2, 0), new_v(qw + 2, 0);
+  for (int64_t qy = 0; qy < qh; ++qy) {
+    const bool initial = qy == 0;
+    uint64_t prev_v_n = 0;
+    std::fill(new_v.begin(), new_v.end(), 0);
+    for (int64_t qx = 0; qx < qw; ++qx) {
+      const uint32_t q_inf = inf[qy * (qw + 3) + qx];
+      const uint32_t u_q = u_q_arr[qy * (qw + 1) + qx];
+      int64_t U_q;
+      if (initial) {
+        U_q = u_q;
+      } else {
+        uint32_t gamma = q_inf & 0xF0;
+        gamma &= gamma - 0x10;
+        const uint64_t emax_v = v_n_scratch[qx] | v_n_scratch[qx + 1];
+        const int emax = bit_length64(emax_v | 2) - 1;  // emax - 1
+        const int kappa = gamma ? emax : 1;
+        U_q = u_q + kappa;
+      }
+      if (U_q > mmsbp2) return -5;
+      const int64_t x0 = qx * 2, y0 = qy * 2;
+      const int ncols = (x0 + 1 < width) ? 2 : 1;
+      for (int bit = 0; bit < 2 * ncols; ++bit) {
+        const int col = bit >> 1, rowb = bit & 1;
+        const int64_t x = x0 + col, y = y0 + rowb;
+        uint64_t val = 0, v_n = 0;
+        if (q_inf & (1u << (4 + bit))) {
+          const uint64_t ms_val = magsgn.fetch(B);
+          const int m_n =
+              static_cast<int>(U_q) - ((q_inf >> (12 + bit)) & 1);
+          magsgn.advance(m_n);
+          val = (ms_val << SIGN) & MASK;
+          v_n = m_n >= 64 ? ms_val : (ms_val & ((1ull << m_n) - 1));
+          v_n |= static_cast<uint64_t>((q_inf >> (8 + bit)) & 1) << m_n;
+          v_n |= 1;
+          val |= (v_n + 2) << (p - 1);
+          val &= MASK;
+        }
+        out[y * width + x] = val;
+        if (rowb == 1) {
+          if (col == 0) {
+            new_v[qx] = prev_v_n | v_n;
+            prev_v_n = 0;
+          } else {
+            prev_v_n = v_n;
+          }
+        }
+      }
+    }
+    new_v[qw] = prev_v_n;
+    std::swap(v_n_scratch, new_v);
+  }
+
+  if (num_passes <= 1) return 0;
+
+  // ---- column-significance array (_sig_from_inf) ----
+  const int64_t n_sy = (height + 3) >> 2;
+  const int64_t n_gx = (width + 3) >> 2;
+  std::vector<uint32_t> sig((n_sy + 1) * (n_gx + 1), 0);
+  for (int64_t sy = 0; sy < n_sy; ++sy)
+    for (int64_t gx = 0; gx < n_gx; ++gx) {
+      uint32_t t = 0;
+      for (int half = 0; half < 2; ++half) {
+        const int64_t qy = sy * 2 + half;
+        if (qy >= qh) continue;
+        for (int qxo = 0; qxo < 2; ++qxo) {
+          const int64_t qx = gx * 2 + qxo;
+          if (qx >= qw) continue;
+          const uint32_t rho = (inf[qy * (qw + 3) + qx] >> 4) & 0xF;
+          for (int b = 0; b < 4; ++b)
+            if (rho & (1u << b)) {
+              const int colq = qxo * 2 + (b >> 1);
+              const int rowq = half * 2 + (b & 1);
+              t |= 1u << (colq * 4 + rowq);
+            }
+        }
+      }
+      sig[sy * (n_gx + 1) + gx] = t;
+    }
+
+  // ---- Significance Propagation Pass ----
+  {
+    FwdRd sigprop(data, len1, len2, 0);
+    std::vector<uint32_t> prev_row_sig(n_gx + 1, 0);
+    for (int64_t sy = 0; sy < n_sy; ++sy) {
+      const int64_t y = sy * 4;
+      uint32_t pattern0 = 0xFFFF;
+      if (height - y < 4) {
+        pattern0 = 0x7777;
+        if (height - y < 3) {
+          pattern0 = 0x3333;
+          if (height - y < 2) pattern0 = 0x1111;
+        }
+      }
+      uint32_t prev = 0;
+      uint32_t pattern = pattern0;
+      for (int64_t gx = 0; gx < n_gx; ++gx) {
+        const int64_t x = gx * 4;
+        const int64_t s = std::max<int64_t>(x + 4 - width, 0);
+        pattern >>= s * 4;
+
+        const uint32_t ps = prev_row_sig[gx] | (prev_row_sig[gx + 1] << 16);
+        const uint32_t ns = sig[(sy + 1) * (n_gx + 1) + gx] |
+                            (sig[(sy + 1) * (n_gx + 1) + gx + 1] << 16);
+        uint32_t u = (ps & 0x88888888u) >> 3;
+        if (!stripe_causal) u |= (ns & 0x11111111u) << 3;
+        const uint32_t cs = sig[sy * (n_gx + 1) + gx] |
+                            (sig[sy * (n_gx + 1) + gx + 1] << 16);
+        uint32_t mbr = cs;
+        mbr |= (cs & 0x77777777u) << 1;
+        mbr |= (cs & 0xEEEEEEEEu) >> 1;
+        mbr |= u;
+        const uint32_t tt0 = mbr;
+        mbr |= tt0 << 4;
+        mbr |= tt0 >> 4;
+        mbr |= prev >> 12;
+        mbr &= pattern;
+        mbr &= ~cs;
+
+        uint32_t new_sig = mbr;
+        if (new_sig) {
+          uint64_t cwd = sigprop.fetch(32);
+          int cnt = 0;
+          uint32_t col_mask = 0xF;
+          const uint32_t inv_sig = ~cs & pattern;
+          static const uint32_t spread[4] = {0x33, 0x76, 0xEC, 0xC8};
+          for (int i = 0; i < 16; i += 4) {
+            if ((col_mask & new_sig) == 0) {
+              col_mask <<= 4;
+              continue;
+            }
+            uint32_t sample_mask = 0x1111u & col_mask;
+            for (int k = 0; k < 4; ++k) {
+              if (new_sig & sample_mask) {
+                new_sig &= ~sample_mask;
+                if (cwd & 1) new_sig |= (spread[k] << i) & inv_sig;
+                cwd >>= 1;
+                ++cnt;
+              }
+              sample_mask <<= 1;
+            }
+            col_mask <<= 4;
+          }
+          if (new_sig) {
+            const uint64_t val = 3ull << (p - 2);
+            col_mask = 0xF;
+            for (int i = 0; i < 4; ++i) {
+              if ((col_mask & new_sig) == 0) {
+                col_mask <<= 4;
+                continue;
+              }
+              uint32_t sample_mask = 0x1111u & col_mask;
+              for (int k = 0; k < 4; ++k) {
+                if (new_sig & sample_mask) {
+                  out[(y + k) * width + (x + i)] =
+                      ((cwd & 1) << SIGN) | val;
+                  cwd >>= 1;
+                  ++cnt;
+                }
+                sample_mask += sample_mask;
+              }
+              col_mask <<= 4;
+            }
+          }
+          sigprop.advance(cnt);
+        }
+        new_sig |= cs;
+        prev_row_sig[gx] = new_sig & 0xFFFF;
+        const uint32_t tt = new_sig & 0xFFFF;
+        const uint32_t new_sig16 =
+            tt | ((tt & 0x7777) << 1) | ((tt & 0xEEEE) >> 1);
+        prev = (new_sig16 | u) & 0xF000;
+      }
+    }
+  }
+
+  // ---- Magnitude Refinement Pass ----
+  if (num_passes > 2) {
+    RevRd magref(data, len1, len2, 0 /* mrp init */);
+    const uint64_t half = 1ull << (p - 2);
+    for (int64_t sy = 0; sy < n_sy; ++sy) {
+      const int64_t y = sy * 4;
+      for (int64_t gx2 = 0; gx2 < n_gx; gx2 += 2) {
+        const int64_t x = gx2 * 4;
+        uint64_t cwd = magref.fetch();
+        const uint32_t hi =
+            (gx2 + 1 < n_gx) ? sig[sy * (n_gx + 1) + gx2 + 1] : 0;
+        const uint32_t sig32 = sig[sy * (n_gx + 1) + gx2] | (hi << 16);
+        if (sig32) {
+          uint32_t col_mask = 0xF;
+          for (int j = 0; j < 8; ++j) {
+            if (sig32 & col_mask) {
+              uint32_t sample_mask = 0x11111111u & col_mask;
+              for (int k = 0; k < 4; ++k) {
+                if (sig32 & sample_mask) {
+                  const uint64_t sym = cwd & 1;
+                  const uint64_t v =
+                      ((1 - sym) << (p - 1)) | half;
+                  out[(y + k) * width + (x + j)] ^= v;
+                  cwd >>= 1;
+                }
+                sample_mask += sample_mask;
+              }
+            }
+            col_mask <<= 4;
+          }
+        }
+        magref.advance(__builtin_popcount(sig32));
+      }
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

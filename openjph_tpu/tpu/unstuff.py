@@ -125,12 +125,14 @@ def _window(blob32, start_words, n: int):
     K = -(-n // _ROW) + 1
     s = jnp.clip(start_words.astype(jnp.int32), 0, size - n)
     row0 = jnp.clip(s >> _ROW_BITS, 0, nrows - K)
-    dn = lax.GatherDimensionNumbers(offset_dims=(1, 2),
-                                    collapsed_slice_dims=(),
-                                    start_index_map=(0,))
-    sup = lax.gather(b2, row0[:, None], dn, slice_sizes=(K, _ROW),
-                     mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
-    sup = sup.reshape(-1, K * _ROW)
+    # SINGLE-row take, not a (K, _ROW)-slice lax.gather: multi-row
+    # slice gathers lower to a per-index while loop (~1.2 us/index,
+    # ~4 ms for a 2 MP burst's lanes); single-row jnp.take hits the
+    # fast path (~90x cheaper, measured on v5e)
+    idx = (row0[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]) \
+        .reshape(-1)
+    sup = jnp.take(b2, idx, axis=0, mode='clip') \
+        .reshape(-1, K * _ROW)
     r = (s - (row0 << _ROW_BITS))[:, None]  # residual, [0, _ROW)
     out = sup
     for b in range(_ROW_BITS):

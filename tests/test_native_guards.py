@@ -88,3 +88,43 @@ def test_pack_from_dense_random():
         assert out.shape == (n, out_stride)
         assert np.all(lens >= 0)
         assert np.all(lens <= out_stride)
+
+
+def test_native_block_decoder_matches_python():
+    """The C++ scalar block decoder (native.decode_codeblock, the
+    >30-bit-plane host path) must be bit-identical to the Python
+    reference (coding/decoder.py) on real coded blocks across
+    depths, pass counts and stripe-causal mode."""
+    import os
+    os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+    from openjph_tpu import decode, encode
+    from openjph_tpu.coding.decoder import decode_codeblock_py
+    rng = np.random.default_rng(5)
+    checked = []
+    orig = native.decode_codeblock
+
+    def spy(data, mm, npass, l1, l2, w, h, sc=False):
+        out = orig(data, mm, npass, l1, l2, w, h, sc)
+        ref = decode_codeblock_py(data, mm, npass, l1, l2, w, h, sc)
+        assert out.dtype == ref.dtype
+        assert np.array_equal(out, ref), (mm, npass, w, h, sc)
+        checked.append(mm)
+        return out
+
+    native.decode_codeblock = spy
+    try:
+        for bd, sgn, ht, vc in [(8, False, 3, False), (8, False, 2, True),
+                                (32, False, 1, False),
+                                (30, True, 1, False)]:
+            lo = -(1 << (bd - 1)) if sgn else 0
+            hi = (1 << (bd - 1)) if sgn else (1 << bd)
+            img = ((np.arange(50 * 70, dtype=np.int64) * 40503)
+                   % (hi - lo) + lo).reshape(50, 70)
+            img[rng.random((50, 70)) < 0.4] = 0
+            s = encode([img], bit_depth=bd, is_signed=sgn,
+                       reversible=True, num_decomps=2, ht_passes=ht,
+                       vert_causal=vc)
+            decode(s)
+    finally:
+        native.decode_codeblock = orig
+    assert checked and max(checked) >= 30  # 64-bit path exercised
