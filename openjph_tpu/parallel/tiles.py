@@ -45,10 +45,16 @@ class MosaicDecoder:
     """
 
     def __init__(self, data: bytes, mesh: Optional[Mesh] = None,
-                 skip_res: int = 0):
+                 skip_res: int = 0, batch_tiles: int = 64):
+        """``batch_tiles``: a geometry class larger than this is
+        dispatched in sub-batches, bounding host+device memory by one
+        sub-batch's tiles (a 32K/1K mosaic is ONE 1024-tile class —
+        unchunked it would materialize the whole gigapixel output at
+        once)."""
         self.mesh = mesh or make_mesh()
         self.axis = self.mesh.axis_names[0]
         self.ndev = self.mesh.devices.size
+        self.batch_tiles = max(batch_tiles, self.ndev)
         self.dec = TpuDecoder(data, skipped_res_for_read=skip_res,
                               skipped_res_for_recon=skip_res)
         if self.dec._any_wide_band():
@@ -123,26 +129,31 @@ class MosaicDecoder:
         raise KeyError(key)
 
     def _run_classes(self):
-        """Yield (tile_indices, comps, errs) per geometry class (one
-        sharded dispatch each)."""
+        """Yield (tile_indices, comps, errs) per geometry-class
+        SUB-BATCH (one sharded dispatch each; classes larger than
+        batch_tiles split so memory stays bounded)."""
         for cls in self.classes:
-            plan, tiles = cls['plan'], cls['tiles']
-            T = len(tiles)
-            # pad the tile batch to a pow2 bucket >= mesh size: keeps
-            # the jit-variant count logarithmic and the shard even
-            F = max(_bucket(T, lo=8), self.ndev)
-            with trace.stage('mosaic.host_prep'):
-                # tile i's lanes are frame-slot i; padding slots
-                # replicate tile 0 (dropped on assembly)
-                args = _pack(
-                    [(self.dec, self.tile_plans[ti]) for ti in tiles]
-                    + [(self.dec, self.tile_plans[tiles[0]])
-                       ] * (F - T))
-            runner = self._runner(plan.key, F)
-            with trace.stage('mosaic.dispatch'):
-                errs, outs = runner(*args)
-            # single-tile plans have exactly one tile entry
-            yield list(tiles), outs[0], errs
+            plan, all_tiles = cls['plan'], cls['tiles']
+            for at in range(0, len(all_tiles), self.batch_tiles):
+                tiles = all_tiles[at:at + self.batch_tiles]
+                T = len(tiles)
+                # pad the tile batch to a pow2 bucket >= mesh size:
+                # keeps the jit-variant count logarithmic and the
+                # shard even
+                F = max(_bucket(T, lo=8), self.ndev)
+                with trace.stage('mosaic.host_prep'):
+                    # tile i's lanes are frame-slot i; padding slots
+                    # replicate tile 0 (dropped on assembly)
+                    args = _pack(
+                        [(self.dec, self.tile_plans[ti])
+                         for ti in tiles]
+                        + [(self.dec, self.tile_plans[tiles[0]])
+                           ] * (F - T))
+                runner = self._runner(plan.key, F)
+                with trace.stage('mosaic.dispatch'):
+                    errs, outs = runner(*args)
+                # single-tile plans have exactly one tile entry
+                yield list(tiles), outs[0], errs
 
     def decode_on_device(self):
         """One sharded dispatch per geometry class.  Returns a list
@@ -197,10 +208,12 @@ class MosaicEncoder:
     byte packing + Tier-2 + stream assembly run on the host.  The
     output is byte-identical to the sequential encoder's."""
 
-    def __init__(self, mesh: Optional[Mesh] = None, **enc_kwargs):
+    def __init__(self, mesh: Optional[Mesh] = None,
+                 batch_tiles: int = 64, **enc_kwargs):
         self.mesh = mesh or make_mesh()
         self.axis = self.mesh.axis_names[0]
         self.ndev = self.mesh.devices.size
+        self.batch_tiles = max(batch_tiles, self.ndev)
         self._kwargs = enc_kwargs
 
     def encode(self, planes) -> bytes:
@@ -269,44 +282,50 @@ class MosaicEncoder:
         shard = NamedSharding(self.mesh, P(self.axis))
         all_packets = [None] * len(trs)
         for cls in classes:
-            plan, tiles = cls['plan'], cls['tiles']
-            T = len(tiles)
-            F = max(_bucket(T, lo=8), self.ndev)
-            with trace.stage('mosaic.enc_host_prep'):
-                per_tile = [read_tile(ti, geoms, enc.siz)
-                            for ti in tiles]
-                stacks = []
-                for c in range(nc):
-                    tps = [pt[c] for pt in per_tile]
-                    tps += [tps[0]] * (F - T)
-                    stacks.append(np.stack(tps))
-                del per_tile
-            rk = (plan.key, F, self.mesh, self.axis,
-                  _use_pallas())
-            runner = _SHARD_RUNNERS.get(rk)
-            if runner is None:
-                with trace.stage('mosaic.enc_compile'):
-                    runner = enc._make_enc_runner(plan, F, shard=shard)
-                _SHARD_RUNNERS[rk] = runner
-            with trace.stage('mosaic.enc_dispatch'):
-                outs = runner(*stacks)
-            codeds = [_empty_coded(geoms[ti], nc) for ti in tiles] \
-                + [None] * (F - T)
-            with trace.stage('mosaic.enc_pack'):
-                if _use_pallas():
-                    try:
-                        enc._consume_pallas_outs(plan, outs, codeds)
-                    except _PallasOverflow:
-                        if fallback_planes is None:
-                            raise
-                        return enc.encode(fallback_planes)
-                else:
-                    enc._consume_record_outs(plan, outs, codeds)
-                del outs
-            with trace.stage('mosaic.enc_t2'):
-                for ti, coded in zip(tiles, codeds):
-                    all_packets[ti] = _tile_packets(enc, geoms[ti],
-                                                    coded)
+            plan, all_tiles = cls['plan'], cls['tiles']
+            # sub-batch large classes: memory stays bounded by one
+            # batch_tiles chunk's pixel stack + coded planes
+            for at in range(0, len(all_tiles), self.batch_tiles):
+                tiles = all_tiles[at:at + self.batch_tiles]
+                T = len(tiles)
+                F = max(_bucket(T, lo=8), self.ndev)
+                with trace.stage('mosaic.enc_host_prep'):
+                    per_tile = [read_tile(ti, geoms, enc.siz)
+                                for ti in tiles]
+                    stacks = []
+                    for c in range(nc):
+                        tps = [pt[c] for pt in per_tile]
+                        tps += [tps[0]] * (F - T)
+                        stacks.append(np.stack(tps))
+                    del per_tile
+                rk = (plan.key, F, self.mesh, self.axis,
+                      _use_pallas())
+                runner = _SHARD_RUNNERS.get(rk)
+                if runner is None:
+                    with trace.stage('mosaic.enc_compile'):
+                        runner = enc._make_enc_runner(plan, F,
+                                                      shard=shard)
+                    _SHARD_RUNNERS[rk] = runner
+                with trace.stage('mosaic.enc_dispatch'):
+                    outs = runner(*stacks)
+                codeds = [_empty_coded(geoms[ti], nc)
+                          for ti in tiles] + [None] * (F - T)
+                with trace.stage('mosaic.enc_pack'):
+                    if _use_pallas():
+                        try:
+                            enc._consume_pallas_outs(plan, outs,
+                                                     codeds)
+                        except _PallasOverflow:
+                            if fallback_planes is None:
+                                raise
+                            return enc.encode(fallback_planes)
+                    else:
+                        enc._consume_record_outs(plan, outs, codeds)
+                    del outs
+                with trace.stage('mosaic.enc_t2'):
+                    for ti, coded in zip(tiles, codeds):
+                        all_packets[ti] = _tile_packets(
+                            enc, geoms[ti], coded)
         return enc.assemble(all_packets)
 
 

@@ -117,3 +117,91 @@ def test_mosaic_many_geometry_classes(tmp_path, rng):
     assert len(keys) >= 16, f'only {len(keys)} geometry classes'
     out = decode_tpu(stream)
     assert np.array_equal(out[0], img)
+
+
+N32K = 32768
+TILE32 = 1024
+
+
+@pytest.mark.slow
+def test_mosaic_32k_memory_bounded():
+    """Config-5 scale proof past 8K: a 32768x32768 (1 gigapixel)
+    mosaic streamed through encode_chunked and decode_to.  The whole
+    image never exists on the host (a 32K int32 plane alone is 4 GB):
+    large geometry classes dispatch in batch_tiles sub-batches, and a
+    VmRSS sampler asserts the peak memory DELTA over the run stays
+    under 2 GB.  Reference analogue: 4 GB tile-parts / TLM partial
+    access (ojph_codestream.h:153-173).  The measured figures persist
+    to MOSAIC_SCALE.json for the bench record."""
+    import json
+    import threading
+
+    def vmrss_mb():
+        with open('/proc/self/status') as f:
+            for line in f:
+                if line.startswith('VmRSS:'):
+                    return int(line.split()[1]) / 1024.0
+        return 0.0
+
+    rss0 = vmrss_mb()
+    peak = [rss0]
+    stop = threading.Event()
+
+    def sampler():
+        while not stop.is_set():
+            peak[0] = max(peak[0], vmrss_mb())
+            stop.wait(0.2)
+
+    th = threading.Thread(target=sampler, daemon=True)
+    th.start()
+    try:
+        mesh = make_mesh()
+        me = MosaicEncoder(mesh, batch_tiles=32, reversible=True,
+                           num_decomps=2, tile_size=(TILE32, TILE32))
+
+        def reader(ti, geom):
+            r = geom.comps[0].rect
+            return [_tile_content(r.y0, r.x0, r.h, r.w)]
+
+        t0 = time.perf_counter()
+        stream = me.encode_chunked(reader, (N32K, N32K), num_comps=1)
+        t_enc = time.perf_counter() - t0
+        assert len(stream) > 8 << 20
+
+        md = MosaicDecoder(stream, mesh, batch_tiles=32)
+        ntiles = len(md.dec.tiles)
+        assert ntiles == (N32K // TILE32) ** 2  # 1024 tiles
+        seen = 0
+        rng = np.random.RandomState(9)
+        check = set(rng.choice(ntiles, 24, replace=False).tolist()) \
+            | {0, ntiles - 1}
+
+        def sink(ti, planes):
+            nonlocal seen
+            seen += 1
+            if ti in check:
+                r = md.dec.tiles[ti].geom.comps[0].rect
+                assert np.array_equal(
+                    planes[0], _tile_content(r.y0, r.x0, r.h, r.w)), \
+                    f'tile {ti} mismatch'
+
+        t0 = time.perf_counter()
+        md.decode_to(sink)
+        t_dec = time.perf_counter() - t0
+        assert seen == ntiles
+    finally:
+        stop.set()
+        th.join(timeout=2)
+
+    delta = peak[0] - rss0
+    rec = {'image': f'{N32K}x{N32K}', 'tiles': ntiles,
+           'encode_chunked_s': round(t_enc, 1),
+           'decode_to_s': round(t_dec, 1),
+           'tiles_per_s_decode': round(ntiles / t_dec, 1),
+           'rss_peak_delta_mb': round(delta, 1),
+           'backend': 'cpu-8dev-virtual-mesh'}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, 'MOSAIC_SCALE.json'), 'w') as f:
+        json.dump(rec, f, indent=1)
+    print('\n32K mosaic:', rec)
+    assert delta < 2048, f'peak RSS delta {delta:.0f} MB >= 2 GB'
