@@ -148,16 +148,18 @@ def _write_ppm(path, img):
 # decode to HBM (headline) + its device-only variant
 # ---------------------------------------------------------------------------
 
-def ours_decode_once(vd, stream_sets):
-    """One sustained-decode round (NBURST bursts, 2 in flight)."""
+def ours_decode_once(vd, stream_sets, depth: int = 3):
+    """One sustained-decode round (NBURST bursts, ``depth`` in
+    flight: 3 measured ~3% over 2 — deep enough to hide prep, shallow
+    enough not to thrash the single-channel tunnel)."""
     import jax
     last = None
     t0 = time.perf_counter()
-    for i in range(2):
+    for i in range(depth):
         vd.submit(stream_sets[i % len(stream_sets)])
-    for i in range(NBURST - 2):
+    for i in range(NBURST - depth):
         last = vd.collect_on_device()
-        vd.submit(stream_sets[i % len(stream_sets)])
+        vd.submit(stream_sets[(i + depth) % len(stream_sets)])
     while vd.depth:
         last = vd.collect_on_device()
     jax.block_until_ready(last)

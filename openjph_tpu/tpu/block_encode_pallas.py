@@ -74,8 +74,10 @@ def _mel_exp(k):
 # (xprof), and its dynamic-trip page loops ~70% in round 4.
 # ---------------------------------------------------------------------------
 
-_NLIMB = 5          # MEL/VLC window limbs
-_NLIMB_MS = 17      # MagSgn window limbs
+_NLIMB = 5          # MEL window limbs
+_NLIMB_VLC = 7      # VLC window limbs (224 bits: 4 pairs x <=40 + 31)
+_NLIMB_MS = 32      # MagSgn window limbs (1024 bits: 4 pairs x <=248
+                    # + a 31-bit residual, exactly)
 
 
 def _append(st, v, ln):
@@ -116,37 +118,27 @@ def _append(st, v, ln):
 # measured 14% faster than 32 on v5e (xprof: the flush passes are
 # ~84% of this kernel; smaller pages cut their data movement).
 _PAGE = 8
-# Extra lane-spread pages covered by the constant-trip flush window
-# beyond the npop rows themselves; lanes whose words fall above the
-# window DEFER to the next flush (the window tracks the lowest
-# pending lane, so stragglers are served as soon as faster lanes
-# drain below 32 pending bits).  Sustained three-way spread beyond
-# the window overflows a lane's bit window instead, which flags ovf
-# and falls back to the scalar encoder for the burst.
-_SPAN_PAGES = 4
 
 
-def _flush_many(st, out_ref, nwords: int, npop: int,
-                dyn: bool = False):
+def _flush_many(st, out_ref, nwords: int, npop: int):
     """Pop up to ``npop`` completed words per lane in ONE page pass.
 
     The per-word flush costs a masked page read-modify-write each; a
     stream that appends >32 bits between flush points (MagSgn: up to
     248 per pair) pays it per word.  Batching the pops writes rows
     [wi, wi+kpop) in the same page pass with one extra select per
-    extra word.  Any dynamic-TRIP-COUNT scf.for (or a lax.cond
-    containing one) costs ~4-5 us on v5e no matter how little it does
-    — per-flush dynamic page loops were ~70% of this kernel (xprof:
-    11.9 ms vs 3.2 ms static) — so the page pass is a CONSTANT-trip
-    window of k_eff pages at a dynamic clamped base (dynamic pl.ds
-    starts are cheap).  The window starts at the lowest pending
-    lane's page; lanes whose words fall above it DEFER to the next
-    flush, by which time the window has risen (faster lanes drain
-    below 32 pending bits and leave the bound).  A lane deferred so
-    long that its bit window overflows raises ovf via _append and the
-    burst falls back to the scalar encoder.  When every lane is idle
-    the masks are all false and the window writes pages back
-    unchanged, so callers need no jnp.any-gated lax.cond."""
+    extra word.  The page pass is an EXACT dynamic-range fori over
+    the pages holding some flushing lane's rows.  A dynamic-trip
+    scf.for costs ~4-5 us on v5e no matter how little it does, so the
+    flush SCHEDULE minimizes instances instead: every stream flushes
+    ONCE per 4-pair group into a window wide enough to hold the whole
+    group's appends (constant-trip windows with lane deferral were
+    tried — 3x faster on homogeneous content, but lanes of different
+    bands emit at rates spread continuously, so deferred lanes
+    starved and overflowed on real imagery, silently dropping every
+    burst to the scalar fallback).  When every lane is idle the range
+    is empty (pmin > pmax) and the loop body never runs, so callers
+    need no jnp.any-gated lax.cond."""
     NL = len(st) - 3
     w = list(st[:NL])
     nb, wi, ovf = st[NL], st[NL + 1], st[NL + 2]
@@ -169,10 +161,7 @@ def _flush_many(st, out_ref, nwords: int, npop: int,
 
     if nwords <= _PAGE or nwords % _PAGE:
         out_ref[:] = write_rows(out_ref[:], 0, doit)
-    elif dyn:
-        # exact dynamic-range pass, no deferral: used ONCE per stream
-        # per lane tile by the end-of-block drain, where a deferral
-        # could starve a lane with no appends left to flag it
+    else:
         pmin = jnp.min(jnp.where(doit, wic, nwords - 1)) // _PAGE
         pmax = jnp.max(jnp.where(doit, wic + kc - 1, 0)) // _PAGE
 
@@ -183,20 +172,6 @@ def _flush_many(st, out_ref, nwords: int, npop: int,
             return carry
 
         lax.fori_loop(pmin, pmax + 1, body, 0)
-    else:
-        pmin = jnp.min(jnp.where(doit, wic, nwords - 1)) // _PAGE
-        npages = nwords // _PAGE
-        k_eff = min(1 + (npop + _PAGE - 2) // _PAGE + _SPAN_PAGES,
-                    npages)
-        base = jnp.minimum(pmin, npages - k_eff)
-        # defer lanes whose words don't fit the window
-        serve = doit & ((wic + kc - 1) // _PAGE <= base + k_eff - 1)
-        kpop = jnp.where(serve, kpop, 0)
-        kc = jnp.where(serve, kc, 0)
-        for pg in range(k_eff):
-            rows = out_ref[pl.ds((base + pg) * _PAGE, _PAGE)]
-            out_ref[pl.ds((base + pg) * _PAGE, _PAGE)] = \
-                write_rows(rows, (base + pg) * _PAGE, serve)
     # shift the window down by kpop limbs: binary decomposition
     # (log2(npop) masked passes instead of NL*npop equality selects)
     neww = list(w)
@@ -218,19 +193,18 @@ def _drain(st, out_ref, nwords: int):
     NL = len(st) - 3
     nb, wi, ovf = st[NL], st[NL + 1], st[NL + 2]
     nb2 = (nb + 31) & ~31
-    return _flush_many((*st[:NL], nb2, wi, ovf), out_ref, nwords, NL,
-                       dyn=True)
+    return _flush_many((*st[:NL], nb2, wi, ovf), out_ref, nwords, NL)
 
 
 # ---------------------------------------------------------------------------
 # Kernel
 # ---------------------------------------------------------------------------
 
-# scratch rows in the (33, S, 128) u32 state buffer: MEL/VLC writers
-# carry 5 limbs + nb/wi/ovf (8 rows each), MagSgn 10 limbs + 3 (13)
-_MELW, _VLCW, _MSW = 0, 8, 16
-_MRUN, _MK, _CQ, _MAXE = 36, 37, 38, 39
-_STATE_ROWS_ENC = 40
+# scratch rows in the u32 state buffer: MEL 5 limbs + nb/wi/ovf (8
+# rows), VLC 7+3 (10), MagSgn 32+3 (35), then 4 context rows
+_MELW, _VLCW, _MSW = 0, 8, 18
+_MRUN, _MK, _CQ, _MAXE = 53, 54, 55, 56
+_STATE_ROWS_ENC = 57
 
 
 def _enc_tables_chunks():
@@ -247,7 +221,8 @@ def _enc_tables_chunks():
 
 
 def _make_kernel(qw: int, qh: int, S: int, wp: int,
-                 wm: int, wv: int, ws: int):
+                 wm: int, wv: int, ws: int,
+                 interp: bool = False):
     pairs = (qw + 1) >> 1
 
     def ld_writer(state, base, nl=_NLIMB):
@@ -290,7 +265,7 @@ def _make_kernel(qw: int, qh: int, S: int, wp: int,
 
         init = r == 0
         mel = ld_writer(state, _MELW)
-        vlc = ld_writer(state, _VLCW)
+        vlc = ld_writer(state, _VLCW, _NLIMB_VLC)
         ms = ld_writer(state, _MSW, _NLIMB_MS)
         mrun = state[_MRUN].astype(jnp.int32)
         mk = state[_MK].astype(jnp.int32)
@@ -564,24 +539,38 @@ def _make_kernel(qw: int, qh: int, S: int, wp: int,
             return (mel, vlc, ms, mrun, mk, c_q, max_e)
 
         carry = (mel, vlc, ms, mrun, mk, c_q, max_e)
-        G, R = pairs // 4, pairs % 4
+        if interp:
+            # interpret mode (the CPU test path) executes the traced
+            # body per element, so the 4x-unrolled group loop below
+            # is several times slower there; flush every pair through
+            # a compact per-pair fori instead.  Same primitives and
+            # byte-identical output (flush cadence never changes
+            # word placement) — only the Mosaic-compiled schedule
+            # differs, and that one is pinned by on-device oracle
+            # byte-parity checks.
+            def pair_all(j, carry):
+                return pair_once(j, carry, True, True, True)
 
-        def pair_group(g, carry):
-            j0 = 4 * g
-            carry = pair_once(j0, carry, False, False, False)
-            carry = pair_once(j0 + 1, carry, True, True, False)
-            carry = pair_once(j0 + 2, carry, False, False, False)
-            carry = pair_once(j0 + 3, carry, True, True, True)
-            return carry
+            carry = lax.fori_loop(0, pairs, pair_all, carry)
+        else:
+            G, R = pairs // 4, pairs % 4
 
-        if G:
-            carry = lax.fori_loop(0, G, pair_group, carry)
-        # static tail (< 4 pairs): keep the 2-pair MagSgn/VLC cadence,
-        # then flush everything so no gap straddles the row boundary
-        for i in range(R):
-            lastt = i == R - 1
-            carry = pair_once(4 * G + i, carry,
-                              lastt or i == 1, lastt or i == 1, lastt)
+            def pair_group(g, carry):
+                j0 = 4 * g
+                carry = pair_once(j0, carry, False, False, False)
+                carry = pair_once(j0 + 1, carry, False, False, False)
+                carry = pair_once(j0 + 2, carry, False, False, False)
+                carry = pair_once(j0 + 3, carry, True, True, True)
+                return carry
+
+            if G:
+                carry = lax.fori_loop(0, G, pair_group, carry)
+            # static tail (< 4 pairs): flush everything at the
+            # tail's last pair so no gap straddles the row boundary
+            for i in range(R):
+                lastt = i == R - 1
+                carry = pair_once(4 * G + i, carry, lastt, lastt,
+                                  lastt)
         mel, vlc, ms, mrun, mk, c_q, max_e = carry
 
         @pl.when(r == qh - 1)
@@ -594,7 +583,8 @@ def _make_kernel(qw: int, qh: int, S: int, wp: int,
             mel3 = _append(mel2, cw, ln)
             melbits = (mel3[_NLIMB + 1] * 32 + mel3[_NLIMB]) \
                 .astype(_U32)
-            vlcbits = (vlc[_NLIMB + 1] * 32 + vlc[_NLIMB]).astype(_U32)
+            vlcbits = (vlc[_NLIMB_VLC + 1] * 32
+                       + vlc[_NLIMB_VLC]).astype(_U32)
             msbits = (ms[_NLIMB_MS + 1] * 32 + ms[_NLIMB_MS]) \
                 .astype(_U32)
             meld = _drain(mel3, melw, wm)
@@ -603,7 +593,7 @@ def _make_kernel(qw: int, qh: int, S: int, wp: int,
             meta_out[0] = melbits
             meta_out[1] = vlcbits
             meta_out[2] = msbits
-            meta_out[3] = meld[_NLIMB + 2] | vlcd[_NLIMB + 2] \
+            meta_out[3] = meld[_NLIMB + 2] | vlcd[_NLIMB_VLC + 2] \
                 | msd[_NLIMB_MS + 2]
 
         @pl.when(r < qh - 1)
@@ -668,7 +658,8 @@ def _run_encode_pallas(buf, p, qhl, dims, caps, nlanes,
         qhl = jnp.pad(qhl, (0, padl))   # qhl 0: no emission at all
     n_sb = S // SB
 
-    kern = _make_kernel(qw, qh, SB, wp, wm, wv, ws)
+    kern = _make_kernel(qw, qh, SB, wp, wm, wv, ws,
+                        interp=interpret)
     vlct, uvt = _enc_tables_chunks()
 
     # (N, hp, wp) -> (hp, wp, S, 128)
