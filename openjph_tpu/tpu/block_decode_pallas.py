@@ -82,6 +82,11 @@ def _mel_exp(k):
 # length), so the needy span is typically 1-3 pages out of ~24.
 _PAGE = 32
 
+# Refill trips executed with their own any-gate before the remaining
+# worst-case trips drop behind a single shared gate (steady-state
+# refills consume 1-2 words; see _refill_to).
+_HEAD_TRIPS = 2
+
 
 def _fetch(words_ref, wi, nwords: int, need=None):
     """words_ref (W,S,128) with W % _PAGE == 0; wi (S,128) int32 ->
@@ -169,11 +174,17 @@ def _push_word(st, wv):
 def _refill_to(st, target: int, words_ref, nwords: int):
     """Fetch words until every lane has >= target valid bits.  Each
     trip is skipped entirely (scalar branch) once no lane is short —
-    fetch work tracks real consumption, not the worst case."""
-    trips = (target + 31) // 32
-    for _ in range(trips):
-        need = st[_NLIMB] < target
+    fetch work tracks real consumption, not the worst case.
 
+    In steady state a refill consumes 1-2 words, so trips past
+    _HEAD_TRIPS sit behind ONE extra any-gate: the common case pays
+    head + 1 cond regions instead of ``trips`` (each any/cond region
+    costs ~1-2 us whether or not it fires; batching the fetches
+    instead was measured 2x SLOWER — see architecture.md on why
+    read-side region-minimization loses)."""
+    trips = (target + 31) // 32
+
+    def one_trip(s):
         def fetch(s):
             nd = s[_NLIMB] < target
             wv = _fetch(words_ref, s[_NLIMB + 1], nwords, need=nd)
@@ -182,7 +193,20 @@ def _refill_to(st, target: int, words_ref, nwords: int):
                          else p
                          for p, q in zip(pushed, s))
 
-        st = lax.cond(jnp.any(need), fetch, lambda s: s, st)
+        return lax.cond(jnp.any(s[_NLIMB] < target), fetch,
+                        lambda s: s, s)
+
+    head = min(trips, _HEAD_TRIPS)
+    for _ in range(head):
+        st = one_trip(st)
+    if trips > head:
+        def tail(s):
+            for _ in range(trips - head):
+                s = one_trip(s)
+            return s
+
+        st = lax.cond(jnp.any(st[_NLIMB] < target), tail,
+                      lambda s: s, st)
     return st
 
 
@@ -296,12 +320,15 @@ def _bitrev8_k(b):
 def _refill_raw(st, bst, target: int, words_ref, nwords: int,
                 kind: int, nbytes):
     """Raw-mode refill: fetch + unstuff + variable-length push until
-    every lane has >= target bits.  A stuffed word carries >= 24
-    payload bits (VLC nibble word worst case), hence the trip count."""
-    trips = (target + 23) // 24
-    for _ in range(trips):
-        need = st[_NLIMB] < target
+    every lane has >= target bits.  A stuffed MagSgn/MEL word deletes
+    at most 1 bit per byte (>= 28 payload bits); a VLC word also
+    loses its leading 4-bit nibble (>= 24) — that bound sets the
+    worst-case trip count.  Trips past _HEAD_TRIPS share one any-gate
+    (see _refill_to)."""
+    min_payload = 24 if kind == _RAW_VLC else 28
+    trips = (target + min_payload - 1) // min_payload
 
+    def one_trip(flat):
         def fetch(flat):
             s, pb, fl = flat[:7], flat[7], flat[8]
             nd = s[_NLIMB] < target
@@ -314,10 +341,22 @@ def _refill_raw(st, bst, target: int, words_ref, nwords: int,
             return out + (jnp.where(nd, pb2, pb),
                           jnp.where(nd, fl2, fl))
 
-        flat = tuple(st) + (bst[0], bst[1])
-        flat = lax.cond(jnp.any(need), fetch, lambda x: x, flat)
-        st, bst = flat[:7], (flat[7], flat[8])
-    return st, bst
+        return lax.cond(jnp.any(flat[_NLIMB] < target), fetch,
+                        lambda x: x, flat)
+
+    flat = tuple(st) + (bst[0], bst[1])
+    head = min(trips, _HEAD_TRIPS)
+    for _ in range(head):
+        flat = one_trip(flat)
+    if trips > head:
+        def tail(flat):
+            for _ in range(trips - head):
+                flat = one_trip(flat)
+            return flat
+
+        flat = lax.cond(jnp.any(flat[_NLIMB] < target), tail,
+                        lambda x: x, flat)
+    return flat[:7], (flat[7], flat[8])
 
 
 def _peek(st):
