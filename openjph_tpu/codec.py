@@ -19,8 +19,21 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+from . import native
 from .coding.decoder import decode_codeblock
-from .coding.encoder import encode_codeblock, encode_codeblock_multipass
+from .coding.encoder import encode_codeblock, encode_spp_mrp
+
+
+def _encode_cb(sub, missing_msbs, width, height, bits=32):
+    """Cleanup-segment encode: C++ fast path (incl. the encoder64
+    regime, native/ojtpu_native.cpp::encode_codeblock) with the Python
+    scalar reference as fallback."""
+    out = native.encode_codeblock(sub, missing_msbs, width, height,
+                                  bits=bits)
+    if out is None:
+        out = encode_codeblock(sub, missing_msbs, width, height,
+                               bits=bits)
+    return out
 from .core import markers as mk
 from .core.message import error as _err, warn as _wrn
 from .core.geometry import (ResolutionGeom, SubbandGeom, TileGeom,
@@ -773,6 +786,7 @@ class Encoder:
                 delta_inv = 1.0 / sb.delta if not reversible else 0.0
                 smag, vals = _tx_to_cb(bp, sb.kmax, delta_inv, reversible)
                 blocks: List[Optional[CodedBlock]] = []
+                pend = []  # (block idx, sub, bits) for the C++ batch
                 for g in sb.blocks:
                     sy = slice(g.rect.y0 - sb.rect.y0,
                                g.rect.y1 - sb.rect.y0)
@@ -791,7 +805,9 @@ class Encoder:
                             # cleanup codes planes >= 1, SigProp/MagRef
                             # code plane 0 (finer truncation point than
                             # a whole cleanup bitplane)
-                            seg1, seg2 = encode_codeblock_multipass(
+                            seg1 = _encode_cb(sub, sb.kmax - 2,
+                                              g.rect.w, g.rect.h)
+                            seg2 = encode_spp_mrp(
                                 sub, sb.kmax - 2, g.rect.w, g.rect.h,
                                 num_passes=self.ht_passes,
                                 stripe_causal=self.cod.vert_causal)
@@ -808,11 +824,23 @@ class Encoder:
                         else:
                             cb.missing_msbs = sb.kmax - 1
                             cb.num_passes = 1
-                            cb.data = encode_codeblock(
-                                sub, sb.kmax - 1, g.rect.w, g.rect.h,
-                                bits=64 if wide else 32)
-                            cb.pass_length[0] = len(cb.data)
+                            pend.append((len(blocks), sub,
+                                         64 if wide else 32))
                     blocks.append(cb)
+                if pend:
+                    # thread-parallel C++ batch over the band's
+                    # cleanup-only blocks (shared kmax/bits)
+                    bits = pend[0][2]
+                    segs = native.encode_codeblock_batch(
+                        [s for _, s, _ in pend], sb.kmax - 1,
+                        bits=bits) or [None] * len(pend)
+                    for (bi, sub, bts), seg in zip(pend, segs):
+                        if seg is None:  # no native / overflow
+                            seg = encode_codeblock(
+                                sub, sb.kmax - 1, sub.shape[1],
+                                sub.shape[0], bits=bts)
+                        blocks[bi].data = seg
+                        blocks[bi].pass_length[0] = len(seg)
                 per_band.append(blocks)
             per_res.append(per_band)
         return per_res

@@ -105,6 +105,15 @@ def _load():
         lib.decode_codeblock.argtypes = [
             ctypes.c_void_p] + [ctypes.c_int64] * 7 + \
             [ctypes.c_void_p] * 6
+        lib.encode_codeblock.restype = ctypes.c_int64
+        lib.encode_codeblock.argtypes = [
+            ctypes.c_void_p] + [ctypes.c_int64] * 5 + \
+            [ctypes.c_void_p] * 3 + [ctypes.c_void_p, ctypes.c_int64]
+        lib.encode_codeblock_batch.restype = None
+        lib.encode_codeblock_batch.argtypes = [
+            ctypes.c_void_p] * 4 + [ctypes.c_int64] * 3 + \
+            [ctypes.c_void_p] * 4 + \
+            [ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
         _lib = lib
         return _lib
 
@@ -348,6 +357,85 @@ def pack_cleanup_segments(mel_e, vlc_c, vlc_l, ms_v, ms_l, pairs_real,
         pairs_real.ctypes.data, out.ctypes.data, out_stride,
         lens.ctypes.data)
     return out, lens
+
+
+_ENC_TABLES = None
+
+
+def _enc_tables():
+    global _ENC_TABLES
+    if _ENC_TABLES is None:
+        from ..coding.tables import get_tables
+        t = get_tables()
+        _ENC_TABLES = (
+            np.ascontiguousarray(t['enc_vlc0'], np.uint16),
+            np.ascontiguousarray(t['enc_vlc1'], np.uint16),
+            np.ascontiguousarray(t['enc_uvlc'], np.uint8))
+    return _ENC_TABLES
+
+
+def encode_codeblock(buf, missing_msbs, width, height, bits=32):
+    """C++ scalar HT cleanup-pass encode (port of coding/encoder.py,
+    incl. the >30-bit-plane encoder64 regime); returns the cleanup
+    segment bytes, or None when the native library is unavailable or
+    an internal stream overflowed (caller falls back to Python)."""
+    lib = _load()
+    if lib is None:
+        return None
+    vlc0, vlc1, uvlc = _enc_tables()
+    b = np.ascontiguousarray(buf[:height, :width], np.uint64)
+    # worst case: ~ (bits+2)-bit MagSgn words per sample + header streams
+    cap = int(width) * int(height) * (int(bits) // 8 + 3) + 8192
+    out = np.empty(cap, np.uint8)
+    n = int(lib.encode_codeblock(
+        b.ctypes.data, b.shape[1] if b.size else width,
+        int(missing_msbs), int(width), int(height), int(bits),
+        vlc0.ctypes.data, vlc1.ctypes.data, uvlc.ctypes.data,
+        out.ctypes.data, cap))
+    if n < 0:
+        return None
+    return bytes(out[:n])
+
+
+def encode_codeblock_batch(subs, missing_msbs, bits=32, nthreads=0):
+    """Thread-parallel cleanup encode over one subband's codeblocks
+    (shared missing_msbs/bits).  ``subs`` are 2D sign-magnitude
+    arrays; returns a list of segment bytes with None entries on
+    per-block overflow, or None when the native library is
+    unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    vlc0, vlc1, uvlc = _enc_tables()
+    n = len(subs)
+    offs = np.zeros(n, np.int64)
+    ws = np.zeros(n, np.int64)
+    hs = np.zeros(n, np.int64)
+    total = 0
+    maxwh = 0
+    for i, s in enumerate(subs):
+        h, w = s.shape
+        ws[i] = w
+        hs[i] = h
+        offs[i] = total
+        total += w * h
+        maxwh = max(maxwh, w * h)
+    blob = np.empty(total, np.uint64)
+    for i, s in enumerate(subs):
+        blob[offs[i]:offs[i] + ws[i] * hs[i]] = \
+            np.asarray(s, np.uint64).ravel()
+    out_stride = maxwh * (int(bits) // 8 + 3) + 8192
+    out = np.empty((n, out_stride), np.uint8)
+    lens = np.zeros(n, np.int64)
+    if nthreads <= 0:
+        nthreads = min(8, os.cpu_count() or 1)
+    lib.encode_codeblock_batch(
+        blob.ctypes.data, offs.ctypes.data, ws.ctypes.data,
+        hs.ctypes.data, n, int(missing_msbs), int(bits),
+        vlc0.ctypes.data, vlc1.ctypes.data, uvlc.ctypes.data,
+        out.ctypes.data, out_stride, lens.ctypes.data, nthreads)
+    return [bytes(out[i, :lens[i]]) if lens[i] > 0 else None
+            for i in range(n)]
 
 
 _DEC_ERRORS = {

@@ -1051,6 +1051,28 @@ struct MsEnc {  // forward MagSgn, ojph_block_encoder.cpp:446-533
       }
     }
   }
+  inline void encode_w(uint64_t cwd, int cwd_len) {
+    // 64-bit-wide variant for the encoder64 regime (>32-bit v_n);
+    // t <= 8 per step so the masks/shifts stay in range
+    while (cwd_len > 0) {
+      int t = max_bits - used_bits;
+      if (cwd_len < t) t = cwd_len;
+      tmp |= (cwd & ((1ull << t) - 1)) << used_bits;
+      used_bits += t;
+      cwd >>= t;
+      cwd_len -= t;
+      if (used_bits >= max_bits) {
+        if (len >= cap) {
+          ovf = true;
+          return;
+        }
+        buf[len++] = static_cast<uint8_t>(tmp);
+        max_bits = (tmp == 0xFF) ? 7 : 8;
+        tmp = 0;
+        used_bits = 0;
+      }
+    }
+  }
   inline void terminate() {
     if (used_bits) {
       int t = max_bits - used_bits;
@@ -1751,6 +1773,358 @@ int decode_codeblock(
     }
   }
   return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Scalar HT cleanup-pass block ENCODER, 32- and 64-bit sample regimes.
+// Line-faithful C++ port of THIS REPO'S reference-Python encoder
+// (openjph_tpu/coding/encoder.py::encode_codeblock, itself byte-exact
+// with ojph_encode_codeblock32/64, /root/reference/src/core/coding/
+// ojph_block_encoder.cpp:542-1017 and :1026-1389 for the >30
+// bit-plane encoder64 regime).  This is the host path for wide-band
+// (Kmax >= 31) codeblocks, where the fused TPU kernels hand off and
+// the Python scalar loop runs ~0.16 MP/s; this runs oracle-class.
+// Tables are passed in from Python (coding/data/vlc_tables.npz).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct QuadSample {
+  int sig;
+  int e;
+  uint64_t s;
+};
+
+// (significance, exponent e_q, magsgn value v_n) of one sample
+// (encoder.py::_quad_sample).
+inline QuadSample quad_sample(const uint64_t* buf, int64_t stride,
+                              int64_t y, int64_t x, int64_t width,
+                              int64_t height, int p, int bits) {
+  QuadSample q{0, 0, 0};
+  if (x >= width || y >= height) return q;
+  const uint64_t t = buf[y * stride + x];
+  const uint64_t mask = (bits >= 64) ? ~0ull : ((1ull << bits) - 1);
+  uint64_t val = (t + t) & mask;
+  val >>= p;
+  val &= ~1ull;
+  if (!val) return q;
+  val -= 1;
+  q.e = 64 - __builtin_clzll(val);  // B - clz(2*mu_p - 1)
+  val -= 1;
+  q.s = val + (t >> (bits - 1));  // v_n = 2*(mu_p - 1) + sign
+  q.sig = 1;
+  return q;
+}
+
+// Encode one codeblock's cleanup segment; buf is a [height, stride]
+// uint64 sign-magnitude array (sign at bit bits-1, magnitudes aligned
+// so plane p = (30|62) - missing_msbs is the coded LSB).  Writes
+// MagSgn | MEL | VLC(reversed) | scup word into out; returns the
+// segment length, or -1 when any stream overflowed its buffer.
+int64_t encode_cb_impl(const uint64_t* buf, int64_t stride,
+                       int64_t missing_msbs, int64_t width,
+                       int64_t height, int64_t bits,
+                       const uint16_t* enc_vlc0,
+                       const uint16_t* enc_vlc1,
+                       const uint8_t* enc_uvlc,  // [75][6]
+                       uint8_t* out, int64_t out_cap) {
+  MelEnc mel;
+  VlcEnc vlc;
+  MsEnc ms(out, out_cap);
+  const int p = static_cast<int>(
+      (bits == 32 ? 30 : 62) - missing_msbs);
+  const int b = static_cast<int>(bits);
+  const bool ext = (bits == 64);  // u_q extension (encoder64)
+  const int64_t qw = (width + 1) >> 1;
+
+  // e_val / cx_val line buffers (ojph_block_encoder.cpp:577-580)
+  std::vector<int32_t> e_val(qw + 2, 0), cx_val(qw + 2, 0);
+
+  const uint8_t* uv = enc_uvlc;  // rows of (pre,prelen,suf,suflen,ext,extlen)
+  auto uvlc_enc = [&](VlcEnc& v, int u, int c0, int c1) {
+    v.encode(uv[u * 6 + c0], uv[u * 6 + c1]);
+  };
+
+  // --- initial row of quads ------------------------------------------------
+  int c_q0 = 0;
+  int64_t lep = 0;
+  for (int64_t x = 0; x < width; x += 4) {
+    QuadSample q0[4] = {
+        quad_sample(buf, stride, 0, x, width, height, p, b),
+        quad_sample(buf, stride, 1, x, width, height, p, b),
+        quad_sample(buf, stride, 0, x + 1, width, height, p, b),
+        quad_sample(buf, stride, 1, x + 1, width, height, p, b)};
+    const int rho0 =
+        q0[0].sig | (q0[1].sig << 1) | (q0[2].sig << 2) | (q0[3].sig << 3);
+    int e_qmax0 = 0;
+    for (int n = 0; n < 4; ++n) e_qmax0 = std::max(e_qmax0, q0[n].e);
+    const int Uq0 = std::max(e_qmax0, 1);
+    const int u_q0 = Uq0 - 1;
+    int u_q1 = 0;
+    int eps0 = 0;
+    if (u_q0 > 0) {
+      for (int n = 0; n < 4; ++n)
+        eps0 |= ((q0[n].e == e_qmax0 && q0[n].e > 0) ? 1 : 0) << n;
+    }
+    e_val[lep] = std::max(e_val[lep], static_cast<int32_t>(q0[1].e));
+    ++lep;
+    e_val[lep] = q0[3].e;
+    cx_val[lep - 1] |= (rho0 & 2) >> 1;
+    cx_val[lep] = (rho0 & 8) >> 3;
+    const uint32_t tuple0 = enc_vlc0[(c_q0 << 8) + (rho0 << 4) + eps0];
+    vlc.encode(tuple0 >> 8, (tuple0 >> 4) & 7);
+    if (c_q0 == 0) mel.encode(rho0 != 0);
+    for (int n = 0; n < 4; ++n) {
+      const int m =
+          ((rho0 >> n) & 1) ? Uq0 - ((tuple0 >> n) & 1) : 0;
+      ms.encode_w(q0[n].s & ((1ull << m) - 1), m);
+    }
+
+    if (x + 2 < width) {
+      QuadSample q1[4] = {
+          quad_sample(buf, stride, 0, x + 2, width, height, p, b),
+          quad_sample(buf, stride, 1, x + 2, width, height, p, b),
+          quad_sample(buf, stride, 0, x + 3, width, height, p, b),
+          quad_sample(buf, stride, 1, x + 3, width, height, p, b)};
+      const int rho1 =
+          q1[0].sig | (q1[1].sig << 1) | (q1[2].sig << 2) | (q1[3].sig << 3);
+      int e_qmax1 = 0;
+      for (int n = 0; n < 4; ++n) e_qmax1 = std::max(e_qmax1, q1[n].e);
+      const int c_q1 = (rho0 >> 1) | (rho0 & 1);
+      const int Uq1 = std::max(e_qmax1, 1);
+      u_q1 = Uq1 - 1;
+      int eps1 = 0;
+      if (u_q1 > 0) {
+        for (int n = 0; n < 4; ++n)
+          eps1 |= ((q1[n].e == e_qmax1 && q1[n].e > 0) ? 1 : 0) << n;
+      }
+      e_val[lep] = std::max(e_val[lep], static_cast<int32_t>(q1[1].e));
+      ++lep;
+      e_val[lep] = q1[3].e;
+      cx_val[lep - 1] |= (rho1 & 2) >> 1;
+      cx_val[lep] = (rho1 & 8) >> 3;
+      const uint32_t tuple1 = enc_vlc0[(c_q1 << 8) + (rho1 << 4) + eps1];
+      vlc.encode(tuple1 >> 8, (tuple1 >> 4) & 7);
+      if (c_q1 == 0) mel.encode(rho1 != 0);
+      for (int n = 0; n < 4; ++n) {
+        const int m =
+            ((rho1 >> n) & 1) ? Uq1 - ((tuple1 >> n) & 1) : 0;
+        ms.encode_w(q1[n].s & ((1ull << m) - 1), m);
+      }
+      c_q0 = (rho1 >> 1) | (rho1 & 1);
+    } else {
+      c_q0 = 0;
+    }
+
+    // u_q encoding for the pair (ojph_block_encoder.cpp:763-785)
+    if (u_q0 > 0 && u_q1 > 0) mel.encode(std::min(u_q0, u_q1) > 2);
+    if (u_q0 > 2 && u_q1 > 2) {
+      uvlc_enc(vlc, u_q0 - 2, 0, 1);
+      uvlc_enc(vlc, u_q1 - 2, 0, 1);
+      uvlc_enc(vlc, u_q0 - 2, 2, 3);
+      uvlc_enc(vlc, u_q1 - 2, 2, 3);
+      if (ext) {  // encoder64, ojph_block_encoder.cpp:1269-1270
+        uvlc_enc(vlc, u_q0 - 2, 4, 5);
+        uvlc_enc(vlc, u_q1 - 2, 4, 5);
+      }
+    } else if (u_q0 > 2 && u_q1 > 0) {
+      uvlc_enc(vlc, u_q0, 0, 1);
+      vlc.encode(u_q1 - 1, 1);
+      uvlc_enc(vlc, u_q0, 2, 3);
+      if (ext) uvlc_enc(vlc, u_q0, 4, 5);  // :1277
+    } else {
+      uvlc_enc(vlc, u_q0, 0, 1);
+      uvlc_enc(vlc, u_q1, 0, 1);
+      uvlc_enc(vlc, u_q0, 2, 3);
+      uvlc_enc(vlc, u_q1, 2, 3);
+      if (ext) {  // :1285-1286
+        uvlc_enc(vlc, u_q0, 4, 5);
+        uvlc_enc(vlc, u_q1, 4, 5);
+      }
+    }
+  }
+  e_val[lep + 1] = 0;
+
+  // --- non-initial rows ----------------------------------------------------
+  for (int64_t y = 2; y < height; y += 2) {
+    lep = 0;
+    int max_e = std::max(e_val[0], e_val[1]) - 1;
+    e_val[0] = 0;
+    int64_t lcxp = 0;
+    c_q0 = cx_val[0] + (cx_val[1] << 2);
+    cx_val[0] = 0;
+    for (int64_t x = 0; x < width; x += 4) {
+      QuadSample q0[4] = {
+          quad_sample(buf, stride, y, x, width, height, p, b),
+          quad_sample(buf, stride, y + 1, x, width, height, p, b),
+          quad_sample(buf, stride, y, x + 1, width, height, p, b),
+          quad_sample(buf, stride, y + 1, x + 1, width, height, p, b)};
+      const int rho0 =
+          q0[0].sig | (q0[1].sig << 1) | (q0[2].sig << 2) | (q0[3].sig << 3);
+      int e_qmax0 = 0;
+      for (int n = 0; n < 4; ++n) e_qmax0 = std::max(e_qmax0, q0[n].e);
+      int kappa = (rho0 & (rho0 - 1)) ? std::max(1, max_e) : 1;
+      const int Uq0 = std::max(e_qmax0, kappa);
+      const int u_q0 = Uq0 - kappa;
+      int u_q1 = 0;
+      int eps0 = 0;
+      if (u_q0 > 0) {
+        for (int n = 0; n < 4; ++n)
+          eps0 |= ((q0[n].e == e_qmax0 && q0[n].e > 0) ? 1 : 0) << n;
+      }
+      e_val[lep] = std::max(e_val[lep], static_cast<int32_t>(q0[1].e));
+      ++lep;
+      max_e = std::max(e_val[lep], e_val[lep + 1]) - 1;
+      e_val[lep] = q0[3].e;
+      cx_val[lcxp] |= (rho0 & 2) >> 1;
+      ++lcxp;
+      int c_q1 = cx_val[lcxp] + (cx_val[lcxp + 1] << 2);
+      cx_val[lcxp] = (rho0 & 8) >> 3;
+      const uint32_t tuple0 = enc_vlc1[(c_q0 << 8) + (rho0 << 4) + eps0];
+      vlc.encode(tuple0 >> 8, (tuple0 >> 4) & 7);
+      if (c_q0 == 0) mel.encode(rho0 != 0);
+      for (int n = 0; n < 4; ++n) {
+        const int m =
+            ((rho0 >> n) & 1) ? Uq0 - ((tuple0 >> n) & 1) : 0;
+        ms.encode_w(q0[n].s & ((1ull << m) - 1), m);
+      }
+
+      if (x + 2 < width) {
+        QuadSample q1[4] = {
+            quad_sample(buf, stride, y, x + 2, width, height, p, b),
+            quad_sample(buf, stride, y + 1, x + 2, width, height, p, b),
+            quad_sample(buf, stride, y, x + 3, width, height, p, b),
+            quad_sample(buf, stride, y + 1, x + 3, width, height, p, b)};
+        const int rho1 =
+            q1[0].sig | (q1[1].sig << 1) | (q1[2].sig << 2) |
+            (q1[3].sig << 3);
+        int e_qmax1 = 0;
+        for (int n = 0; n < 4; ++n) e_qmax1 = std::max(e_qmax1, q1[n].e);
+        kappa = (rho1 & (rho1 - 1)) ? std::max(1, max_e) : 1;
+        c_q1 |= ((rho0 & 4) >> 1) | ((rho0 & 8) >> 2);
+        const int Uq1 = std::max(e_qmax1, kappa);
+        u_q1 = Uq1 - kappa;
+        int eps1 = 0;
+        if (u_q1 > 0) {
+          for (int n = 0; n < 4; ++n)
+            eps1 |= ((q1[n].e == e_qmax1 && q1[n].e > 0) ? 1 : 0) << n;
+        }
+        e_val[lep] = std::max(e_val[lep], static_cast<int32_t>(q1[1].e));
+        ++lep;
+        max_e = std::max(e_val[lep], e_val[lep + 1]) - 1;
+        e_val[lep] = q1[3].e;
+        cx_val[lcxp] |= (rho1 & 2) >> 1;
+        ++lcxp;
+        c_q0 = cx_val[lcxp] + (cx_val[lcxp + 1] << 2);
+        cx_val[lcxp] = (rho1 & 8) >> 3;
+        const uint32_t tuple1 = enc_vlc1[(c_q1 << 8) + (rho1 << 4) + eps1];
+        vlc.encode(tuple1 >> 8, (tuple1 >> 4) & 7);
+        if (c_q1 == 0) mel.encode(rho1 != 0);
+        for (int n = 0; n < 4; ++n) {
+          const int m =
+              ((rho1 >> n) & 1) ? Uq1 - ((tuple1 >> n) & 1) : 0;
+          ms.encode_w(q1[n].s & ((1ull << m) - 1), m);
+        }
+        c_q0 |= ((rho1 & 4) >> 1) | ((rho1 & 8) >> 2);
+      } else {
+        c_q0 = c_q1;  // matches reference: c_q0 set before 2nd quad
+      }
+
+      uvlc_enc(vlc, u_q0, 0, 1);
+      uvlc_enc(vlc, u_q1, 0, 1);
+      uvlc_enc(vlc, u_q0, 2, 3);
+      uvlc_enc(vlc, u_q1, 2, 3);
+      if (ext) {  // encoder64, ojph_block_encoder.cpp:1491-1492
+        uvlc_enc(vlc, u_q0, 4, 5);
+        uvlc_enc(vlc, u_q1, 4, 5);
+      }
+    }
+  }
+
+  // terminate (ojph_block_encoder.cpp:412-441)
+  if (mel.run > 0) mel.emit_bit(1);
+  const uint32_t mel_tmp = (mel.tmp << mel.remaining_bits) & 0xFF;
+  const uint32_t mel_mask = (0xFF << mel.remaining_bits) & 0xFF;
+  const uint32_t vlc_mask =
+      vlc.used_bits ? (0xFFu >> (8 - vlc.used_bits)) : 0;
+  int mel_len = mel.len;
+  int vlc_len = vlc.len;
+  if ((mel_mask | vlc_mask) != 0 &&
+      mel_len + 1 <= static_cast<int>(sizeof(mel.buf)) &&
+      vlc_len + 1 <= static_cast<int>(sizeof(vlc.buf))) {
+    const uint32_t fuse = mel_tmp | vlc.tmp;
+    if (((((fuse ^ mel_tmp) & mel_mask) |
+          ((fuse ^ vlc.tmp) & vlc_mask)) == 0) &&
+        fuse != 0xFF && vlc.len > 0) {
+      mel.buf[mel_len++] = static_cast<uint8_t>(fuse);
+    } else {
+      mel.buf[mel_len++] = static_cast<uint8_t>(mel_tmp);
+      vlc.buf[vlc_len++] = static_cast<uint8_t>(vlc.tmp);
+    }
+  }
+  ms.terminate();
+  const int64_t num_bytes = mel_len + vlc_len + 1;  // + 0xFF sentinel
+  const int64_t total = ms.len + num_bytes;
+  if (mel.ovf || vlc.ovf || ms.ovf || total + 2 > out_cap ||
+      num_bytes > 4079 || total < 2)
+    return -1;
+  uint8_t* pos = out + ms.len;
+  for (int j = 0; j < mel_len; ++j) *pos++ = mel.buf[j];
+  for (int j = vlc_len - 1; j >= 0; --j) *pos++ = vlc.buf[j];
+  *pos = 0xFF;  // sentinel, replaced by the scup word
+  out[total - 1] = static_cast<uint8_t>((num_bytes >> 4) & 0xFF);
+  out[total - 2] =
+      static_cast<uint8_t>((out[total - 2] & 0xF0) | (num_bytes & 0xF));
+  return total;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t encode_codeblock(const uint64_t* buf, int64_t stride,
+                         int64_t missing_msbs, int64_t width,
+                         int64_t height, int64_t bits,
+                         const uint16_t* enc_vlc0,
+                         const uint16_t* enc_vlc1,
+                         const uint8_t* enc_uvlc,
+                         uint8_t* out, int64_t out_cap) {
+  return encode_cb_impl(buf, stride, missing_msbs, width, height, bits,
+                        enc_vlc0, enc_vlc1, enc_uvlc, out, out_cap);
+}
+
+// Thread-parallel batch over one subband's codeblocks (shared
+// missing_msbs/bits).  blob holds each block contiguous at
+// offsets[i], dims as ws/hs; outputs land at out + i*out_stride with
+// out_lens[i] = segment length (-1 on overflow: caller falls back on
+// that block).
+void encode_codeblock_batch(const uint64_t* blob, const int64_t* offsets,
+                            const int64_t* ws, const int64_t* hs,
+                            int64_t n, int64_t missing_msbs,
+                            int64_t bits, const uint16_t* enc_vlc0,
+                            const uint16_t* enc_vlc1,
+                            const uint8_t* enc_uvlc, uint8_t* out,
+                            int64_t out_stride, int64_t* out_lens,
+                            int64_t nthreads) {
+  if (nthreads < 1) nthreads = 1;
+  if (nthreads > n) nthreads = n;
+  auto work = [&](int64_t t0) {
+    for (int64_t i = t0; i < n; i += nthreads) {
+      out_lens[i] = encode_cb_impl(
+          blob + offsets[i], ws[i], missing_msbs, ws[i], hs[i], bits,
+          enc_vlc0, enc_vlc1, enc_uvlc, out + i * out_stride,
+          out_stride);
+    }
+  };
+  if (nthreads == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> ts;
+    for (int64_t t = 0; t < nthreads; ++t) ts.emplace_back(work, t);
+    for (auto& th : ts) th.join();
+  }
 }
 
 }  // extern "C"

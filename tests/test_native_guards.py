@@ -128,3 +128,57 @@ def test_native_block_decoder_matches_python():
     finally:
         native.decode_codeblock = orig
     assert checked and max(checked) >= 30  # 64-bit path exercised
+
+
+def test_native_block_encoder_matches_python():
+    """The C++ scalar cleanup encoder (native.encode_codeblock, the
+    encoder64 >30-bit-plane host path) must be byte-identical to the
+    Python reference (coding/encoder.py) across both sample regimes,
+    block geometries and sparsities — single-block and the threaded
+    batch entry."""
+    from openjph_tpu.coding.encoder import encode_codeblock as py_enc
+    rng = np.random.default_rng(7)
+    for trial in range(60):
+        bits = 64 if trial % 2 else 32
+        w = int(rng.integers(1, 65))
+        h = int(rng.integers(1, 65))
+        kmax = int(rng.integers(1, 36 if bits == 64 else 31))
+        mm = kmax - 1
+        p = (30 if bits == 32 else 62) - mm
+        mag_bits = min(kmax, 38)
+        mags = rng.integers(0, 1 << mag_bits, size=(h, w),
+                            dtype=np.uint64)
+        mags *= rng.random((h, w)) < rng.uniform(0.05, 0.9)
+        signs = rng.integers(0, 2, size=(h, w),
+                             dtype=np.uint64) << np.uint64(bits - 1)
+        buf = (mags << np.uint64(p)) | signs
+        if bits == 32:
+            buf = buf.astype(np.uint32)
+        ref = py_enc(buf, mm, w, h, bits=bits)
+        got = native.encode_codeblock(buf, mm, w, h, bits=bits)
+        assert got == ref, (trial, bits, w, h, kmax)
+
+
+def test_native_block_encoder_batch_matches_single():
+    """encode_codeblock_batch must agree with per-block calls (same
+    segments, any thread count)."""
+    from openjph_tpu.coding.encoder import encode_codeblock as py_enc
+    rng = np.random.default_rng(8)
+    for bits, mm in [(32, 12), (64, 34)]:
+        p = (30 if bits == 32 else 62) - mm
+        subs = []
+        for _ in range(9):
+            w = int(rng.integers(1, 65))
+            h = int(rng.integers(1, 65))
+            mags = rng.integers(0, 1 << min(mm + 1, 38), size=(h, w),
+                                dtype=np.uint64)
+            mags *= rng.random((h, w)) < 0.5
+            signs = rng.integers(0, 2, size=(h, w),
+                                 dtype=np.uint64) << np.uint64(bits - 1)
+            subs.append((mags << np.uint64(p)) | signs)
+        for nthreads in (1, 3):
+            segs = native.encode_codeblock_batch(subs, mm, bits=bits,
+                                                 nthreads=nthreads)
+            for s, seg in zip(subs, segs):
+                ref = py_enc(s, mm, s.shape[1], s.shape[0], bits=bits)
+                assert seg == ref
