@@ -25,6 +25,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..core.message import warn as _wrn
 from ..tpu.pipeline import (TpuDecoder, _bucket, _build_plan,
                             _make_runner, _pack)
 from ..utils import trace
@@ -45,18 +46,23 @@ class MosaicDecoder:
     """
 
     def __init__(self, data: bytes, mesh: Optional[Mesh] = None,
-                 skip_res: int = 0, batch_tiles: int = 64):
+                 skip_res: int = 0, batch_tiles: int = 64,
+                 resilient: bool = False):
         """``batch_tiles``: a geometry class larger than this is
         dispatched in sub-batches, bounding host+device memory by one
         sub-batch's tiles (a 32K/1K mosaic is ONE 1024-tile class —
         unchunked it would materialize the whole gigapixel output at
-        once)."""
+        once).  ``resilient``: broken blocks decode as zeros in the
+        sharded graph (warning, no raise) — the reference's
+        enable_resilience semantics at full speed."""
         self.mesh = mesh or make_mesh()
         self.axis = self.mesh.axis_names[0]
         self.ndev = self.mesh.devices.size
         self.batch_tiles = max(batch_tiles, self.ndev)
+        self.resilient = resilient
         self.dec = TpuDecoder(data, skipped_res_for_read=skip_res,
-                              skipped_res_for_recon=skip_res)
+                              skipped_res_for_recon=skip_res,
+                              resilient=resilient)
         if self.dec._any_wide_band():
             raise ValueError('>30 bit-plane streams take the host '
                              'path; mosaic sharding unsupported')
@@ -75,9 +81,9 @@ class MosaicDecoder:
             if plan is None:
                 raise ValueError(
                     'stream not eligible for the fused path '
-                    '(resilient mode, DFS tiles, >30 bit planes, or '
-                    'multi-pass without the native Tier-2 record '
-                    'parser); use TpuDecoder')
+                    '(DFS tiles, >30 bit planes, or multi-pass '
+                    'without the native Tier-2 record parser); '
+                    'use TpuDecoder')
             self.tile_plans[ti] = plan
             gk = (tuple((g.gid, g.w, g.h, g.n_pad)
                         for g in plan.groups),) + plan.key[1:]
@@ -170,7 +176,10 @@ class MosaicDecoder:
             # padding slots replicate tile 0, so they cannot raise a
             # novel error — a blanket any() is exact
             if np.asarray(errs).any():
-                raise ValueError('U_q exceeds missing_msbs + 2')
+                if not self.resilient:
+                    raise ValueError('U_q exceeds missing_msbs + 2')
+                _wrn(0x00080006,
+                     'broken codeblock(s) zeroed (resilient)')
             host = [np.asarray(c) for c in comps]
             for i, ti in enumerate(tiles):
                 tile_planes[self.dec.tiles[ti].geom.idx] = \
@@ -186,7 +195,10 @@ class MosaicDecoder:
         the same sample layout Decoder.decode_tile returns."""
         for tiles, comps, errs in self._run_classes():
             if np.asarray(errs).any():
-                raise ValueError('U_q exceeds missing_msbs + 2')
+                if not self.resilient:
+                    raise ValueError('U_q exceeds missing_msbs + 2')
+                _wrn(0x00080006,
+                     'broken codeblock(s) zeroed (resilient)')
             host = [np.asarray(c) for c in comps]
             for i, ti in enumerate(tiles):
                 sink(self.dec.tiles[ti].geom.idx,

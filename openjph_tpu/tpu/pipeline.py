@@ -35,6 +35,7 @@ import os
 
 from ..codec import Decoder
 from ..coding.decoder import decode_codeblock
+from ..core.message import warn as _wrn
 from ..utils import trace
 from . import color as jclr
 from . import dwt as jdwt
@@ -169,10 +170,10 @@ def _build_plan(dec: 'TpuDecoder',
     grid share one key, which is what lets parallel.tiles batch the
     tiles of a mosaic along the lane axis and shard them over a
     mesh (tile independence, ojph_codestream_local.cpp:120)."""
-    if dec.resilient:
-        return None
     if getattr(dec, 'record_t2', False):
         return _build_plan_records(dec, tile_indices)
+    resilient = bool(getattr(dec, 'resilient', False))
+    warned = False
     groups: Dict[int, _Group] = {}
     placements = []
     bands = []
@@ -208,14 +209,33 @@ def _build_plan(dec: 'TpuDecoder',
                         scup = 0
                         if not dead:
                             if cb.num_passes > 1 \
-                                    or cb.missing_msbs >= 30 \
-                                    or cb.pass_length[0] < 2:
-                                return None
+                                    or cb.missing_msbs >= 30:
+                                return None  # multipass/wide: slow path
                             d = cb.data
                             lc = cb.pass_length[0]
-                            scup = (d[lc - 1] << 4) + (d[lc - 2] & 0xF)
-                            if scup < 2 or scup > lc or scup > 4079:
-                                return None
+                            if lc < 2 or len(d) < lc:
+                                bad = True
+                            else:
+                                scup = (d[lc - 1] << 4) \
+                                    + (d[lc - 2] & 0xF)
+                                bad = (scup < 2 or scup > lc
+                                       or scup > 4079)
+                            if bad:
+                                # the reference decodes resiliently in
+                                # its one full-speed path by zeroing
+                                # the broken block and continuing
+                                # (ojph_codeblock.cpp:214-225,
+                                # ojph_precinct.cpp:558-568); here the
+                                # lane is deadened at plan time
+                                if not resilient:
+                                    return None
+                                if not warned:
+                                    _wrn(0x00080006,
+                                         'broken codeblock(s) zeroed '
+                                         '(resilient)')
+                                    warned = True
+                                dead = True
+                                scup = 0
                         grp = groups.get(g.rect.w)
                         if grp is None:
                             grp = _Group(len(groups), g.rect.w)
@@ -730,7 +750,13 @@ def _make_runner(plan: _Plan, nframes: int = 1, shard=None,
                     mrp = runpack(2, 3, rwordss[i][1])
                 d = refine_core(d, spp, mrp, p, rg[:, 4], rg[:, 5],
                                 rg[:, 6] != 0, w, h)
-            d = jnp.where(qhl[:, None, None] > 0, d, jnp.uint32(0))
+            # dead lanes AND broken lanes decode to zero blocks — the
+            # latter is the reference's resilient semantics
+            # (ojph_codeblock.cpp:214-225); in strict mode the caller
+            # raises on the error flags before using the output, so
+            # the masking costs strict mode nothing
+            ok = (qhl > 0) & jnp.logical_not(e)
+            d = jnp.where(ok[:, None, None], d, jnp.uint32(0))
             decs.append(d.reshape(F, npad, h, w))
             errs.append(e.reshape(F, npad)[:, :nm])
         planes = [jnp.zeros((F, H, W), jnp.uint32)
@@ -1274,7 +1300,12 @@ class TpuDecoder(Decoder):
         with trace.stage('decode.device'):
             errs, outs = runner(*args)
             if np.asarray(errs).any():
-                raise ValueError('U_q exceeds missing_msbs + 2')
+                if not self.resilient:
+                    raise ValueError('U_q exceeds missing_msbs + 2')
+                # broken lanes were zeroed in-graph (reference
+                # resilient semantics, ojph_codeblock.cpp:214-225)
+                _wrn(0x00080006,
+                     'broken codeblock(s) zeroed (resilient)')
             tile_planes = {
                 st.geom.idx: [np.asarray(p)[0] for p in outs[i]]
                 for i, st in enumerate(self.tiles)}
@@ -1484,7 +1515,7 @@ class VideoDecoder:
     """
 
     def __init__(self, skip_res: int = 0, to_device: bool = False,
-                 stage_uploads: bool = True):
+                 stage_uploads: bool = True, resilient: bool = False):
         """``to_device=True`` keeps decoded frames in device memory
         (HBM): ``collect_on_device`` returns jax Arrays for a
         downstream on-device consumer (the TPU serving path — decoded
@@ -1494,6 +1525,10 @@ class VideoDecoder:
         self.skip_res = skip_res
         self.to_device = to_device
         self.stage_uploads = stage_uploads
+        # serving-direction resilience (enable_resilience,
+        # ojph_codestream_local.cpp:903): broken blocks decode as
+        # zeros IN the fused graph; error flags downgrade to warnings
+        self.resilient = resilient
         self._inflight = []
         self._pending_errs = []
         from concurrent.futures import ThreadPoolExecutor
@@ -1517,7 +1552,8 @@ class VideoDecoder:
 
     def _prep_and_dispatch(self, streams: List[bytes]):
         decs = [TpuDecoder(s, skipped_res_for_read=self.skip_res,
-                           skipped_res_for_recon=self.skip_res)
+                           skipped_res_for_recon=self.skip_res,
+                           resilient=self.resilient)
                 for s in streams]
         plans = [_build_plan(d) for d in decs]
         if any(p is None for p in plans) or \
@@ -1569,7 +1605,9 @@ class VideoDecoder:
                 errs = np.asarray(errs)
                 outs = jax.tree_util.tree_map(np.asarray, outs)
         if errs.any():
-            raise ValueError('U_q exceeds missing_msbs + 2')
+            if not self.resilient:
+                raise ValueError('U_q exceeds missing_msbs + 2')
+            _wrn(0x00080006, 'broken codeblock(s) zeroed (resilient)')
         with trace.stage('decode.assemble'):
             results = []
             for fi, d in enumerate(decs):
@@ -1608,7 +1646,10 @@ class VideoDecoder:
         self._pending_errs.append(errs)
         while len(self._pending_errs) > 16:
             if np.asarray(self._pending_errs.pop(0)).any():
-                raise ValueError('U_q exceeds missing_msbs + 2')
+                if not self.resilient:
+                    raise ValueError('U_q exceeds missing_msbs + 2')
+                _wrn(0x00080006,
+                     'broken codeblock(s) zeroed (resilient)')
         return outs
 
     def drain_errors(self) -> None:
@@ -1616,7 +1657,10 @@ class VideoDecoder:
         raises if any collected burst was corrupt."""
         while self._pending_errs:
             if np.asarray(self._pending_errs.pop(0)).any():
-                raise ValueError('U_q exceeds missing_msbs + 2')
+                if not self.resilient:
+                    raise ValueError('U_q exceeds missing_msbs + 2')
+                _wrn(0x00080006,
+                     'broken codeblock(s) zeroed (resilient)')
 
     @property
     def depth(self) -> int:
@@ -1664,7 +1708,10 @@ def decode_tpu_batch(streams: List[bytes], resilient: bool = False,
                 _RUNNERS[rk] = runner
             errs, outs = runner(*args)
             if np.asarray(errs).any():
-                raise ValueError('U_q exceeds missing_msbs + 2')
+                if not resilient:
+                    raise ValueError('U_q exceeds missing_msbs + 2')
+                _wrn(0x00080006,
+                     'broken codeblock(s) zeroed (resilient)')
             for fi, (i, d, _) in enumerate(chunk):
                 tile_planes = {
                     st.geom.idx: [np.asarray(p)[fi] for p in outs[ti]]

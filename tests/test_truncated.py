@@ -85,3 +85,82 @@ def test_strict_mode_raises_on_detected_truncation(full_stream, tpu):
     # every cut before the last tile part chops structure the strict
     # parser can see; at least the early ones must be detected
     assert num_detected > 0
+
+
+def test_resilient_truncation_stays_on_fused_path(full_stream):
+    """Round-5 contract: resilient decode runs through the FUSED
+    runner (the reference serves resilience in its one full-speed
+    path, ojph_codestream_local.cpp:903-950) — the planner deadens
+    broken lanes instead of bailing, and the fused output matches the
+    host decoder on every cut (modulo the fused path's documented
+    nominal-range clip)."""
+    import numpy as np
+    from openjph_tpu.tpu.pipeline import TpuDecoder, _build_plan
+    _, s = full_stream
+    fused = 0
+    for cut in range(1, NUM_CUTS):
+        part = s[:len(s) * cut // NUM_CUTS]
+        d = TpuDecoder(part, resilient=True)
+        plan = _build_plan(d)
+        if plan is None:
+            continue  # corrupt parse pushed it to the slow path: ok
+        fused += 1
+        out_f = d._decode_fast(plan)[0]
+        out_h = decode(part, resilient=True)[0]
+        assert out_f.shape == (H, W)
+        assert np.array_equal(out_f.astype(np.int64),
+                              np.clip(out_h, 0, 255)), cut
+    # the truncation cuts must predominantly stay fused
+    assert fused >= NUM_CUTS - 4
+
+
+def test_resilient_zeroes_corrupt_block_on_fused_path(full_stream):
+    """Byte corruption INSIDE a codeblock segment (valid lengths, bad
+    content): strict raises from the fused error flags; resilient
+    decodes the frame with the broken block zeroed in-graph
+    (ojph_codeblock.cpp:214-225)."""
+    import numpy as np
+    from openjph_tpu.tpu.pipeline import TpuDecoder, _build_plan
+    img, s = full_stream
+    # flip bytes mid-stream until strict detects a Tier-1 error but
+    # the Tier-2 parse stays intact (plan exists both modes)
+    for off in range(len(s) * 3 // 4, len(s) - 64, 97):
+        bad = bytearray(s)
+        for j in range(8):
+            bad[off + j] ^= 0xA5
+        bad = bytes(bad)
+        try:
+            strict = TpuDecoder(bad)
+            plan = _build_plan(strict)
+            if plan is None:
+                continue
+            strict._decode_fast(plan)
+        except (ValueError, EOFError):
+            res = TpuDecoder(bad, resilient=True)
+            rplan = _build_plan(res)
+            if rplan is None:
+                continue
+            out = res._decode_fast(rplan)[0]
+            assert out.shape == (H, W)
+            return  # found a corruption the contract covers
+    pytest.skip('no byte flip produced a fused-path Tier-1 error')
+
+
+def test_mosaic_decoder_accepts_resilient():
+    """MosaicDecoder no longer refuses resilient streams; a corrupt
+    tile decodes as zeros instead of raising."""
+    import numpy as np
+    from openjph_tpu.parallel.tiles import MosaicDecoder
+    x = np.arange(128)[None, :]
+    y = np.arange(128)[:, None]
+    img = ((x * 5 + y * 9) & 0xFF).astype(np.int32)
+    s = encode(img, reversible=True, num_decomps=2,
+               tile_size=(64, 64), block_size=(32, 32))
+    md = MosaicDecoder(s, resilient=True)
+    out = md.decode()
+    assert np.array_equal(out[0], img)
+    # truncated: still decodes full-size without raising
+    part = s[:len(s) * 3 // 4]
+    md2 = MosaicDecoder(part, resilient=True)
+    out2 = md2.decode()
+    assert out2[0].shape == (128, 128)
