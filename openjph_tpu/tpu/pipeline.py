@@ -35,6 +35,7 @@ import os
 
 from ..codec import Decoder
 from ..coding.decoder import decode_codeblock
+from ..core.markers import Dfs
 from ..core.message import warn as _wrn
 from ..utils import trace
 from . import color as jclr
@@ -162,6 +163,23 @@ class _Plan:
 _RUNNERS: Dict[tuple, object] = {}
 
 
+def _res_band_list(res, r: int):
+    """Bands present at a resolution level under its (possibly
+    Part-2 DFS) decomposition type (ojph_resolution.cpp:104-187):
+    BIDIR -> HL/LH/HH, H-only -> band 1, V-only -> band 2, NO_DWT ->
+    none (pass-through level)."""
+    if r == 0:
+        return [0]
+    dt = res.dwt_type
+    if dt == Dfs.BIDIR_DWT:
+        return [1, 2, 3]
+    if dt == Dfs.HORZ_DWT:
+        return [1]
+    if dt == Dfs.VERT_DWT:
+        return [2]
+    return []
+
+
 def _build_plan(dec: 'TpuDecoder',
                 tile_indices=None) -> Optional[_Plan]:
     """Walk the parsed stream; return None if the fused path can't
@@ -191,10 +209,8 @@ def _build_plan(dec: 'TpuDecoder',
             for r in range(top + 1):
                 res = comp.resolutions[r]
                 bids = []
-                for b in ([0] if r == 0 else [1, 2, 3]):
+                for b in _res_band_list(res, r):
                     sb = res.bands[b]
-                    if sb is None:
-                        return None  # Part-2 DFS layout: slow path
                     bid = len(bands)
                     bands.append((sb.rect.h, sb.rect.w, sb.kmax,
                                   float(sb.delta), rev))
@@ -264,7 +280,8 @@ def _build_plan(dec: 'TpuDecoder',
                         placements.append(run + (bid,))
                 h_even = (res.rect.x0 & 1) == 0
                 v_even = (res.rect.y0 & 1) == 0
-                res_specs.append((tuple(bids), h_even, v_even))
+                res_specs.append((tuple(bids), h_even, v_even,
+                                  int(res.dwt_type)))
             tile_comps.append((tuple(res_specs), rev,
                                dec.hdr.siz.comps[c].bit_depth,
                                dec.hdr.siz.comps[c].is_signed,
@@ -377,10 +394,8 @@ def _build_skeleton(dec, tile_indices):
             for r in range(top + 1):
                 res = comp.resolutions[r]
                 bids = []
-                for b in ([0] if r == 0 else [1, 2, 3]):
+                for b in _res_band_list(res, r):
                     sb = res.bands[b]
-                    if sb is None:
-                        return None  # Part-2 DFS layout: slow path
                     bid = len(bands)
                     bands.append((sb.rect.h, sb.rect.w, sb.kmax,
                                   float(sb.delta), rev))
@@ -443,7 +458,8 @@ def _build_skeleton(dec, tile_indices):
                         grp0.causal_geom += [causal] * len(seg_idx)
                 h_even = (res.rect.x0 & 1) == 0
                 v_even = (res.rect.y0 & 1) == 0
-                res_specs.append((tuple(bids), h_even, v_even))
+                res_specs.append((tuple(bids), h_even, v_even,
+                                  int(res.dwt_type)))
             tile_comps.append((tuple(res_specs), rev,
                                dec.hdr.siz.comps[c].bit_depth,
                                dec.hdr.siz.comps[c].is_signed,
@@ -776,12 +792,23 @@ def _make_runner(plan: _Plan, nframes: int = 1, shard=None,
         for (mct, comps, narrow_ok) in tiles:
             rec = []
             for (res_specs, rev, bd, sgn, nlt3, kern) in comps:
-                bids0, _, _ = res_specs[0]
-                plane = deq[bids0[0]]
-                for (bids, h_even, v_even) in res_specs[1:]:
-                    plane = jdwt.inv_dwt2d(
-                        plane, deq[bids[0]], deq[bids[1]], deq[bids[2]],
-                        h_even, v_even, rev, kern)
+                plane = deq[res_specs[0][0][0]]
+                for (bids, h_even, v_even, dt) in res_specs[1:]:
+                    # Part-2 DFS: a level may split both ways, one
+                    # way, or not at all (ojph_resolution.cpp:713-949)
+                    if dt == Dfs.BIDIR_DWT:
+                        plane = jdwt.inv_dwt2d(
+                            plane, deq[bids[0]], deq[bids[1]],
+                            deq[bids[2]], h_even, v_even, rev, kern)
+                    elif dt == Dfs.HORZ_DWT:
+                        plane = jdwt.inv_atk_1d(
+                            plane, deq[bids[0]], h_even,
+                            plane.ndim - 1, kern)
+                    elif dt == Dfs.VERT_DWT:
+                        plane = jdwt.inv_atk_1d(
+                            plane, deq[bids[0]], v_even,
+                            plane.ndim - 2, kern)
+                    # NO_DWT: pass-through level
                 rec.append(plane)
             if mct:
                 rev0 = comps[0][1]

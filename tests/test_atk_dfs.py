@@ -329,3 +329,41 @@ def test_atk_plus_dfs_oracle(rng):
     stream = enc.encode([img])
     assert np.array_equal(codec.decode(stream)[0], img)
     assert np.array_equal(_oracle_decode(stream), img)
+
+
+# ---------------------------------------------------------------------------
+# Round 5: DFS layouts on the FUSED path (previously slow-path only)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize('types', [
+    [Dfs.HORZ_DWT] * 3,
+    [Dfs.VERT_DWT] * 3,
+    [Dfs.BIDIR_DWT, Dfs.HORZ_DWT, Dfs.VERT_DWT],
+    [Dfs.NO_DWT, Dfs.BIDIR_DWT, Dfs.HORZ_DWT],
+    [Dfs.BIDIR_DWT, Dfs.BIDIR_DWT, Dfs.NO_DWT],
+])
+def test_dfs_stream_takes_fused_path(rng, types):
+    """The planner must handle H-/V-only and NO_DWT levels (no slow-
+    path bailout, ojph_resolution.cpp:104-187) and the fused runner's
+    1-D/pass-through synthesis must be bit-exact."""
+    from openjph_tpu.tpu.pipeline import TpuDecoder, _build_plan
+    img = rng.randint(0, 256, (120, 200)).astype(np.int32)
+    stream = _dfs_encoder(_siz(200, 120), types).encode([img])
+    d = TpuDecoder(stream)
+    plan = _build_plan(d)
+    assert plan is not None, 'DFS stream fell off the fused path'
+    out = d._decode_fast(plan)[0]
+    assert np.array_equal(out.astype(np.int64), img)
+
+
+def test_dfs_mosaic_shards(rng):
+    """A multi-tile DFS stream shards over the mesh (MosaicDecoder no
+    longer refuses DFS layouts)."""
+    from openjph_tpu.parallel.tiles import MosaicDecoder
+    siz = _siz(256, 128)
+    siz.xtsiz = siz.ytsiz = 64
+    img = rng.randint(0, 256, (128, 256)).astype(np.int32)
+    stream = _dfs_encoder(
+        siz, [Dfs.BIDIR_DWT, Dfs.HORZ_DWT]).encode([img])
+    out = MosaicDecoder(stream).decode()
+    assert np.array_equal(out[0], img)
