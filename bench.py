@@ -101,6 +101,25 @@ def _dbg(msg):
         print(msg, file=sys.stderr)
 
 
+def _wire_probe_up(tsum, nbytes):
+    """Host->device MB/s on fresh bytes (no transport dedup)."""
+    buf = np.frombuffer(os.urandom(nbytes), np.uint8)
+    t0 = time.perf_counter()
+    int(tsum(buf))
+    return nbytes / 1e6 / (time.perf_counter() - t0)
+
+
+def _wire_probe_down(nbytes):
+    """Device->host MB/s on a freshly-uploaded buffer (distinct
+    content per call so no layer can dedup the fetch)."""
+    import jax
+    darr = jax.device_put(np.frombuffer(os.urandom(nbytes), np.uint8))
+    jax.block_until_ready(darr)
+    t0 = time.perf_counter()
+    np.asarray(darr)
+    return nbytes / 1e6 / (time.perf_counter() - t0)
+
+
 def make_frames(nsets: int = 2, rgb: bool = False):
     """Distinct natural-ish frames: drifting 2D sines + film grain.
     ``nsets`` independent bursts so successive uploads carry different
@@ -222,20 +241,37 @@ def bench_decode_gray(stream_sets, frame_sets):
     if have_oracle:
         paths, out, touch = _oracle_stage(stream_sets)
 
+    # decode-direction wire companion (round-5 demand): the serving
+    # decode uploads the coded words (+ meta) and downloads nothing
+    # (to_device=True), so the in-round bound is coded-bytes-up at
+    # the measured link rate
+    import jax
+    import jax.numpy as jnp
+    tsum = jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))
+    int(tsum(np.zeros((1 << 20,), np.uint8)))
+    bytes_up = int(sum(len(x) for x in stream_sets[0]) * 1.10)
+
     ours, ratios, base_decs, bases = [], [], [], []
+    wire_up, bound = [], []
     for r in range(ROUNDS):
         o = ours_decode_once(vd, stream_sets)
         _dbg(f'  ours r{r}: {o:.1f} MP/s')
         ours.append(o)
+        up = _wire_probe_up(tsum, bytes_up)
+        wire_up.append(up)
+        bound.append(MP / (bytes_up / 1e6 / up))
+        _dbg(f'  wire r{r}: {up:.1f} MB/s up -> bound '
+             f'{bound[-1]:.1f} MP/s')
         if have_oracle:
             b, t_dec = oracle_decode_once(paths, out, touch,
                                           frame_sets[r % 2], r)
             ratios.append(o / b)
             bases.append(b)
             base_decs.append(MP / t_dec)
+    wire = {'up': wire_up, 'bound': bound, 'bytes_up_per_burst': bytes_up}
     return (ours, ratios,
             statistics.median(base_decs) if base_decs else None,
-            statistics.median(bases) if bases else None)
+            statistics.median(bases) if bases else None, wire)
 
 
 def _timed_device_rounds(runner_call, n_work: int, mp, label,
@@ -360,31 +396,46 @@ def bench_encode_gray(frame_sets, stream_sets):
                 check=True, capture_output=True)
         return MP / (time.perf_counter() - t0)
 
-    # wire companion: the serving-encode bound on this rig is the
-    # pixel upload (bytes_per_burst of narrowed frames per burst);
-    # measuring the link alongside makes the ratio self-explaining
+    # wire companions, BOTH directions, in the SAME rounds: the
+    # serving-encode round trip is pixels up + coded words down, so
+    # the in-round bound = MP / (t_up + t_down) (serialized) and
+    # MP / max(t_up, t_down) (perfect duplex overlap; the 2-worker io
+    # pipeline approaches this).  Measuring the link next to each
+    # round makes the ratio self-explaining against tunnel drift.
     import jax
     import jax.numpy as jnp
     tsum = jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))
     bytes_per_burst = W * H * NFRAMES       # uint8 upload dtype
+    # coded words down per burst ~= the streams' coded bytes (+~8%
+    # chunk padding in the dense fetch)
+    bytes_down = int(sum(len(x) for x in stream_sets[0]) * 1.08)
     int(tsum(np.zeros((1 << 20,), np.uint8)))   # warm/compile
+    _wire_probe_down(1 << 20)                   # warm
 
-    ours, ratios, bases, wire = [], [], [], []
+    ours, ratios, bases = [], [], []
+    wire_up, wire_down, bound_ser, bound_dup = [], [], [], []
     for r in range(ROUNDS2):
         o = ours_once()
         _dbg(f'  ours enc r{r}: {o:.1f} MP/s')
         ours.append(o)
-        buf = np.frombuffer(os.urandom(bytes_per_burst), np.uint8)
-        t0 = time.perf_counter()
-        int(tsum(buf))
-        wire.append(bytes_per_burst / 1e6
-                    / (time.perf_counter() - t0))
-        _dbg(f'  wire r{r}: {wire[-1]:.1f} MB/s up')
+        up = _wire_probe_up(tsum, bytes_per_burst)
+        down = _wire_probe_down(bytes_down)
+        wire_up.append(up)
+        wire_down.append(down)
+        t_up = bytes_per_burst / 1e6 / up
+        t_down = bytes_down / 1e6 / down
+        bound_ser.append(MP / (t_up + t_down))
+        bound_dup.append(MP / max(t_up, t_down))
+        _dbg(f'  wire r{r}: {up:.1f} MB/s up, {down:.1f} MB/s down '
+             f'-> bound {bound_ser[-1]:.1f}..{bound_dup[-1]:.1f} MP/s')
         if have_oracle:
             b = base_once()
             _dbg(f'  base enc r{r}: {b:.1f} MP/s')
             ratios.append(o / b)
             bases.append(b)
+    wire = {'up': wire_up, 'down': wire_down,
+            'bound_serialized': bound_ser, 'bound_duplex': bound_dup,
+            'bytes_down_per_burst': bytes_down}
     return (ours, ratios,
             statistics.median(bases) if bases else None,
             wire, bytes_per_burst)
@@ -806,13 +857,24 @@ def main():
     try:
         (enc_vals, enc_ratios, base_enc, wire,
          bytes_per_burst) = bench_encode_gray(frame_sets, stream_sets)
+        enc_med = statistics.median(enc_vals)
+        bser = statistics.median(wire['bound_serialized'])
+        bdup = statistics.median(wire['bound_duplex'])
         _emit('encode_8x2048x1080_gray_lossless', enc_vals, enc_ratios,
               baseline=base_enc,
-              extra={'bytes_up_per_burst': bytes_per_burst})
-        # the serving-encode bound on this rig is the pixel upload;
-        # recording the link speed next to the ratio makes a <1.0
-        # encode ratio self-explaining (wire physics, not the codec)
-        _emit('wire_upload', wire, [], unit='MB/s')
+              extra={'bytes_up_per_burst': bytes_per_burst,
+                     'bytes_down_per_burst':
+                         wire['bytes_down_per_burst'],
+                     'wire_bound_serialized_mps': round(bser, 2),
+                     'wire_bound_duplex_mps': round(bdup, 2),
+                     'bound_utilization':
+                         round(enc_med / bser, 3)})
+        # the serving-encode bound on this rig is the wire round trip
+        # (pixels up + coded words down); recording both directions
+        # next to the ratio makes a <1.0 encode ratio
+        # self-explaining (wire physics, not the codec)
+        _emit('wire_upload', wire['up'], [], unit='MB/s')
+        _emit('wire_download', wire['down'], [], unit='MB/s')
     except Exception as e:  # noqa: BLE001
         base_enc = None
         print(f'encode bench failed: {e!r}', file=sys.stderr)
@@ -824,8 +886,8 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f'rgb 9/7 bench failed: {e!r}', file=sys.stderr)
 
-    ours, ratios, base_dec, base_serve = bench_decode_gray(stream_sets,
-                                                           frame_sets)
+    (ours, ratios, base_dec, base_serve,
+     dec_wire) = bench_decode_gray(stream_sets, frame_sets)
 
     try:
         vals, rr = bench_decode_device_only(stream_sets, base_dec)
@@ -854,8 +916,14 @@ def main():
             print(f'config 2-5 bench failed: {e!r}', file=sys.stderr)
 
     # headline LAST (the driver records the final JSON line)
+    dec_med = statistics.median(ours)
+    dec_bound = statistics.median(dec_wire['bound'])
+    _emit('wire_upload_decode_rounds', dec_wire['up'], [], unit='MB/s')
     _emit('decode_to_hbm_8x2048x1080_gray_lossless', ours, ratios,
-          baseline=base_serve)
+          baseline=base_serve,
+          extra={'bytes_up_per_burst': dec_wire['bytes_up_per_burst'],
+                 'wire_bound_mps': round(dec_bound, 2),
+                 'bound_utilization': round(dec_med / dec_bound, 3)})
     with open(os.path.join(REPO, 'BENCH_FULL.json'), 'w') as f:
         json.dump(_results, f, indent=1)
 

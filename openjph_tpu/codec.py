@@ -666,6 +666,35 @@ class Encoder:
         return self.assemble([self._encode_tile(idx, tr, planes)
                               for idx, tr in enumerate(tile_rects)])
 
+    # -- streaming (file-backed) assembly: config-5 output ------------
+    # The reference writes to FILE* (j2c_outfile); the bytes API's
+    # in-memory stream is O(image) for gigapixel mosaics, so these
+    # three calls let MosaicEncoder.encode_chunked stream tile-parts
+    # straight to disk (tile-parts may appear in any order per T.800
+    # A.4.2 — the SOT Isot routes them; our decoder and ojph_expand
+    # both accept it).
+    def stream_begin(self, f) -> None:
+        if self.tlm_marker:
+            _err(0x000300A1, 'TLM requires the in-memory assemble '
+                 '(the marker precedes tile-parts of unknown sizes)')
+        f.write(mk.write_main_header(
+            self.siz, self.cod, self.qcd,
+            cocs=list(self.cocs.values()),
+            qccs=list(self.qccs.values()),
+            nlts=self.nlts, comments=self.comments,
+            version_comment=b'OpenJPH-TPU Ver 0.1.0.',
+            atks=self.atks, dfs_list=self.dfs_list))
+
+    def stream_tile(self, f, idx: int, packets) -> None:
+        for (tpsot, tnsot, payload) in self._split_tileparts(packets):
+            f.write(mk.Sot(idx, len(payload) + 14, tpsot,
+                           tnsot).to_bytes())
+            f.write(struct.pack('>H', mk.Marker.SOD))
+            f.write(payload)
+
+    def stream_end(self, f) -> None:
+        f.write(struct.pack('>H', mk.Marker.EOC))
+
     def assemble(self, tiles_packets) -> bytes:
         """Assemble per-tile packet lists (in tile index order) into
         the codestream: main header, SOT/SOD tile-parts (with the

@@ -242,13 +242,18 @@ class MosaicEncoder:
         return self._encode_common(planes[0].shape, nc, read_tile,
                                    fallback_planes=planes)
 
-    def encode_chunked(self, tile_reader, shape, num_comps: int = 1) \
-            -> bytes:
+    def encode_chunked(self, tile_reader, shape, num_comps: int = 1,
+                       out=None) -> bytes:
         """Chunked-ingest encode for images too large to hold resident
         (config 5): ``tile_reader(tile_idx, geom)`` returns the tile's
         per-component planes (tile-local arrays of the tile comp rect
         shape) — read from disk, generated, or fetched on demand.
-        Only one geometry class's tile batch is resident at a time."""
+        Only one geometry class's tile batch is resident at a time.
+
+        ``out``: an open binary file — tile-parts stream to it as
+        their class finishes (class order, legal per T.800 A.4.2) and
+        the in-memory codestream never exists; returns None.  Without
+        ``out`` the assembled bytes are returned."""
         from ..tpu.encode_pipeline import _narrow_dtype_for
 
         def read_tile(ti, geoms, siz):
@@ -258,9 +263,10 @@ class MosaicEncoder:
                 for c, tp in enumerate(tps)]
 
         return self._encode_common(shape, num_comps, read_tile,
-                                   fallback_planes=None)
+                                   fallback_planes=None, out=out)
 
-    def _encode_common(self, shape, nc, read_tile, fallback_planes):
+    def _encode_common(self, shape, nc, read_tile, fallback_planes,
+                       out=None):
         from jax.sharding import NamedSharding, PartitionSpec as P
         from ..codec import build_encoder
         from ..core.geometry import build_tile, build_tile_grid
@@ -292,7 +298,9 @@ class MosaicEncoder:
                 classes.append(cls)
             cls['tiles'].append(ti)
         shard = NamedSharding(self.mesh, P(self.axis))
-        all_packets = [None] * len(trs)
+        if out is not None:
+            enc.stream_begin(out)
+        all_packets = [None] * len(trs) if out is None else None
         for cls in classes:
             plan, all_tiles = cls['plan'], cls['tiles']
             # sub-batch large classes: memory stays bounded by one
@@ -336,8 +344,14 @@ class MosaicEncoder:
                     del outs
                 with trace.stage('mosaic.enc_t2'):
                     for ti, coded in zip(tiles, codeds):
-                        all_packets[ti] = _tile_packets(
-                            enc, geoms[ti], coded)
+                        packets = _tile_packets(enc, geoms[ti], coded)
+                        if out is None:
+                            all_packets[ti] = packets
+                        else:
+                            enc.stream_tile(out, ti, packets)
+        if out is not None:
+            enc.stream_end(out)
+            return None
         return enc.assemble(all_packets)
 
 

@@ -54,14 +54,12 @@ def _compact_chunks(planes, chunk_idx, Dch: int):
     precomputes the chunk source indices (every segment's dense
     offset is chunk-aligned), so the device does ONE sliced gather —
     no searchsorted, which lowers to second-scale gather chains on
-    TPU.  Returns 4 splits so the host can drain them concurrently
-    (the d2h link pipelines better with multiple streams)."""
+    TPU.  Returns the full (Dch-bucketed) buffer; the caller slices
+    the USED prefix before fetching — the pow2 Dch bucket can pad the
+    buffer by up to ~33%, which is pure wire waste on the tunnel."""
     src = jnp.concatenate([x.reshape(-1) for x in planes]) \
         .reshape(-1, _CHUNK)
-    out = jnp.take(src, chunk_idx, axis=0, mode='clip') \
-        .reshape(-1)
-    q = (Dch * _CHUNK) // 4
-    return (out[:q], out[q:2 * q], out[2 * q:3 * q], out[3 * q:])
+    return jnp.take(src, chunk_idx, axis=0, mode='clip').reshape(-1)
 
 
 @dataclass
@@ -471,11 +469,21 @@ class TpuEncoder(Encoder):
         delta = (seg_base // _CHUNK) - ch_off
         chunk_idx[:total_ch] = (np.repeat(delta, cnt_ch)
                                 + np.arange(total_ch)).astype(np.int32)
-        parts = _compact_chunks(tuple(planes),
-                                jnp.asarray(chunk_idx), Dch)
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(4) as pool:
-            dense = np.concatenate(list(pool.map(np.asarray, parts)))
+        with trace.stage('encode.pack.fetch'):
+            dense_dev = _compact_chunks(tuple(planes),
+                                        jnp.asarray(chunk_idx), Dch)
+            # fetch ONLY the used prefix (the Dch bucket pads up to
+            # ~33%), split in 4 for concurrent draining
+            used = total_ch * _CHUNK
+            q = -(-used // 4)
+            parts = [dense_dev[i * q:min((i + 1) * q, used)]
+                     for i in range(4) if i * q < used]
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(4) as pool:
+                fetched = list(pool.map(np.asarray, parts))
+            dense = np.zeros(Dch * _CHUNK, np.uint32)
+            if used:
+                np.concatenate(fetched, out=dense[:used])
         at = 0
         for gi, g in enumerate(plan.groups):
             nl = F * g.n_pad
@@ -490,12 +498,14 @@ class TpuEncoder(Encoder):
             for f, coded in enumerate(codeds):
                 if coded is None:       # padding frame slot
                     continue
-                out, lens = native.pack_from_dense(
-                    dense,
-                    meta[f * g.n_pad:f * g.n_pad + L],
-                    out_stride=stride)
-                self._fill_coded(plan, g, coded, out, lens,
-                                 nz_all[gi][f])
+                with trace.stage('encode.pack.stuff'):
+                    out, lens = native.pack_from_dense(
+                        dense,
+                        meta[f * g.n_pad:f * g.n_pad + L],
+                        out_stride=stride)
+                with trace.stage('encode.pack.fill'):
+                    self._fill_coded(plan, g, coded, out, lens,
+                                     nz_all[gi][f])
 
     def _fill_coded(self, plan, g, coded, out, lens, nz):
         for lane, (bid, bi, h_t) in enumerate(g.lanes):
@@ -604,16 +614,16 @@ class VideoEncoder:
         from concurrent.futures import ThreadPoolExecutor
         # stage pipeline: prep (stack/narrow) -> io (upload + device
         # compute + d2h fetch of the coded words + byte packing) ->
-        # t2 (packetization + assembly).  ONE worker owns ALL device
-        # traffic: on tunneled backends the up/down link is a single
-        # contended channel, and concurrent upload(+exec) and
-        # dense-fetch threads interleave on it so badly that a
-        # 3-stage split ran ~2x SLOWER than fully sequential
-        # (measured 8.6 vs 17 MP/s on the v5e tunnel); with one IO
-        # stage the link runs back-to-back and only host CPU work
-        # (prep, Tier-2) overlaps it.
+        # t2 (packetization + assembly).  The io stage owns all
+        # device traffic; splitting it into per-STAGE threads
+        # (upload thread + fetch thread) measured ~2x SLOWER on the
+        # v5e tunnel (8.6 vs 17 MP/s, round 3) — but TWO whole-burst
+        # io workers help: burst k+1's pixel upload rides the
+        # opposite link direction of burst k's coded-words download
+        # (the tunnel is full-duplex), measured ~1.3x on the same rig
+        # (round 5, interleaved A/B: medians 16.0 vs 12.0 MP/s).
         self._prep_pool = ThreadPoolExecutor(max_workers=1)
-        self._io_pool = ThreadPoolExecutor(max_workers=1)
+        self._io_pool = ThreadPoolExecutor(max_workers=2)
         self._t2_pool = ThreadPoolExecutor(max_workers=1)
 
     def _ensure(self, frame):
@@ -672,9 +682,11 @@ class VideoEncoder:
 
         def io(stacks=stacks, frames=frames):
             with trace.stage('encode.device'):
-                outs = runner(*[jax.device_put(s) for s in stacks])
+                with trace.stage('encode.dev.upload_exec'):
+                    outs = runner(*[jax.device_put(s) for s in stacks])
                 if _use_pallas():
-                    outs = (outs[0], np.asarray(outs[1]))
+                    with trace.stage('encode.dev.aux_fetch'):
+                        outs = (outs[0], np.asarray(outs[1]))
             codeds = [_empty_coded(geom, nc) for _ in range(F)]
             with trace.stage('encode.segment_pack'):
                 if _use_pallas():

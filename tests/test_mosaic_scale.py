@@ -123,6 +123,24 @@ N32K = 32768
 TILE32 = 1024
 
 
+def _persist_row(rec):
+    """Merge one row into MOSAIC_SCALE.json (a list of rows keyed by
+    'image'; tolerates the legacy single-object format)."""
+    import json
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, 'MOSAIC_SCALE.json')
+    rows = []
+    if os.path.exists(path):
+        with open(path) as f:
+            data = json.load(f)
+        rows = data if isinstance(data, list) else [data]
+    rows = [r for r in rows if r.get('image') != rec['image']]
+    rows.append(rec)
+    with open(path, 'w') as f:
+        json.dump(rows, f, indent=1)
+    return rows
+
+
 @pytest.mark.slow
 def test_mosaic_32k_memory_bounded():
     """Config-5 scale proof past 8K: a 32768x32768 (1 gigapixel)
@@ -212,8 +230,129 @@ def test_mosaic_32k_memory_bounded():
            'tiles_per_s_decode': round(ntiles / t_dec, 1),
            'rss_peak_delta_mb': round(delta, 1),
            'backend': 'cpu-8dev-virtual-mesh'}
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, 'MOSAIC_SCALE.json'), 'w') as f:
-        json.dump(rec, f, indent=1)
+    _persist_row(rec)
     print('\n32K mosaic:', rec)
     assert delta < 2048, f'peak RSS delta {delta:.0f} MB >= 2 GB'
+
+
+N100K = 100000
+TILE100 = 1024
+
+
+@pytest.mark.skipif(not os.environ.get('OJTPU_RUN_10GP'),
+                    reason='10-gigapixel run is opt-in '
+                           '(OJTPU_RUN_10GP=1; ~30 min on the CPU '
+                           'virtual mesh)')
+def test_mosaic_100k_memory_flat():
+    """Config 5 at its STATED scale: 100000x100000 (10 gigapixels)
+    through encode_chunked -> a disk file (streaming tile-part
+    writer) and mmap -> decode_to.  Proves O(sub-batch) memory: the
+    anonymous-RSS delta of the 10 GP run must stay within ~1.35x of
+    the 1 GP (32K) run's delta — a flat curve, not just a ceiling.
+    The codestream lives on disk both directions (the reference's
+    FILE* path, ojph_file.h j2c_outfile/j2c_infile); mmap'd stream
+    pages are file-backed and evictable, so the assertion samples
+    RssAnon (VmRSS is reported alongside).  Reference analogue: 4 GB
+    tile-parts + TLM partial access (ojph_codestream.h:153-173)."""
+    import json
+    import mmap
+    import tempfile
+    import threading
+
+    def rss_mb():
+        anon = total = 0.0
+        with open('/proc/self/status') as f:
+            for line in f:
+                if line.startswith('VmRSS:'):
+                    total = int(line.split()[1]) / 1024.0
+                elif line.startswith('RssAnon:'):
+                    anon = int(line.split()[1]) / 1024.0
+        return anon, total
+
+    def smooth_tile(y0, x0, h, w):
+        yy = (np.arange(y0, y0 + h, dtype=np.int64)[:, None])
+        xx = (np.arange(x0, x0 + w, dtype=np.int64)[None, :])
+        return (((yy * 5 + xx * 3) >> 6) % 256).astype(np.int32)
+
+    anon0, tot0 = rss_mb()
+    peak = [anon0, tot0]
+    stop = threading.Event()
+
+    def sampler():
+        while not stop.is_set():
+            a, t = rss_mb()
+            peak[0] = max(peak[0], a)
+            peak[1] = max(peak[1], t)
+            stop.wait(0.5)
+
+    th = threading.Thread(target=sampler, daemon=True)
+    th.start()
+    path = os.path.join(tempfile.mkdtemp(), 'mosaic100k.j2c')
+    try:
+        mesh = make_mesh()
+        me = MosaicEncoder(mesh, batch_tiles=32, reversible=True,
+                           num_decomps=2,
+                           tile_size=(TILE100, TILE100))
+
+        def reader(ti, geom):
+            r = geom.comps[0].rect
+            return [smooth_tile(r.y0, r.x0, r.h, r.w)]
+
+        t0 = time.perf_counter()
+        with open(path, 'wb') as f:
+            me.encode_chunked(reader, (N100K, N100K), num_comps=1,
+                              out=f)
+        t_enc = time.perf_counter() - t0
+        stream_mb = os.path.getsize(path) / 1e6
+        assert stream_mb > 1.0
+
+        with open(path, 'rb') as fobj:
+            mm = mmap.mmap(fobj.fileno(), 0, access=mmap.ACCESS_READ)
+            md = MosaicDecoder(mm, mesh, batch_tiles=32)
+            ntiles = len(md.dec.tiles)
+            assert ntiles == (-(-N100K // TILE100)) ** 2  # 98^2
+            seen = 0
+            rng_ = np.random.RandomState(11)
+            check = set(rng_.choice(ntiles, 24,
+                                    replace=False).tolist()) \
+                | {0, ntiles - 1}
+
+            def sink(ti, planes):
+                nonlocal seen
+                seen += 1
+                if ti in check:
+                    r = md.dec.tiles[ti].geom.comps[0].rect
+                    assert np.array_equal(
+                        planes[0],
+                        smooth_tile(r.y0, r.x0, r.h, r.w)), \
+                        f'tile {ti} mismatch'
+
+            t0 = time.perf_counter()
+            md.decode_to(sink)
+            t_dec = time.perf_counter() - t0
+            assert seen == ntiles
+    finally:
+        stop.set()
+        th.join(timeout=2)
+
+    d_anon = peak[0] - anon0
+    d_tot = peak[1] - tot0
+    rec = {'image': f'{N100K}x{N100K}', 'tiles': ntiles,
+           'stream_mb': round(stream_mb, 1),
+           'encode_chunked_s': round(t_enc, 1),
+           'decode_to_s': round(t_dec, 1),
+           'tiles_per_s_decode': round(ntiles / t_dec, 1),
+           'rss_anon_delta_mb': round(d_anon, 1),
+           'rss_peak_delta_mb': round(d_tot, 1),
+           'stream_on_disk': True,
+           'backend': 'cpu-8dev-virtual-mesh'}
+    rows = _persist_row(rec)
+    print('\n100K mosaic:', rec)
+    # flat-memory contract vs the recorded 1 GP row
+    row1 = next((r for r in rows if r['image'] == f'{N32K}x{N32K}'),
+                None)
+    if row1 is not None:
+        base = row1.get('rss_anon_delta_mb',
+                        row1['rss_peak_delta_mb'])
+        assert d_anon <= 1.35 * base + 256, \
+            f'10 GP anon delta {d_anon:.0f} MB vs 1 GP {base:.0f} MB'
