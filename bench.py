@@ -741,6 +741,67 @@ def _mosaic_device_only(n_work):
                      statistics.median(vals) / mp * len(tiles0), 1)})
 
 
+def bench_mosaic_16k_device(n_work):
+    """Round-5 demand: a device-backed >8K mosaic figure.  16384x16384
+    gray, 256 tiles of 1024x1024, ingested tile-by-tile
+    (encode_chunked) and decoded through the sub-batched streaming
+    machinery (_run_classes, batch_tiles=64) on the REAL chip —
+    host prep + upload + sharded dispatch per sub-batch inside the
+    timed window, decoded tiles left DEVICE-RESIDENT (sink mode
+    'device-resident': the per-sub-batch comps arrays are forced via
+    the error-plane fetch and dropped; the pixel drain to host is the
+    tunnel's business, not the codec's).  Oracle = ojph_expand on the
+    identical multi-tile stream."""
+    import jax
+    from openjph_tpu.parallel.tiles import MosaicEncoder, MosaicDecoder
+    HM = WM = 16384
+    TILE = 1024
+    mp = HM * WM / 1e6
+
+    def tile_content(v, y0, x0, h, w):
+        yy = np.arange(y0, y0 + h, dtype=np.float32)[:, None]
+        xx = np.arange(x0, x0 + w, dtype=np.float32)[None, :]
+        img = (127 + 90 * np.sin(xx / 151.0 + v)
+               * np.cos(yy / 117.0 - v)
+               + 17 * np.sin((xx + yy) / 53.0))
+        return np.clip(img, 0, 255).astype(np.int32)
+
+    menc = MosaicEncoder(bit_depth=8, reversible=True, num_decomps=5,
+                         tile_size=(TILE, TILE), batch_tiles=64)
+    streams = []
+    for v in range(n_work):
+        def reader(ti, geom, v=v):
+            r = geom.comps[0].rect
+            return [tile_content(v, r.y0, r.x0, r.h, r.w)]
+        streams.append(menc.encode_chunked(reader, (HM, WM),
+                                           num_comps=1))
+        _dbg(f'  16k mosaic {v}: {len(streams[-1])/1e6:.1f} MB coded')
+    mds = [MosaicDecoder(s, batch_tiles=64) for s in streams]
+    ntiles = len(mds[0].dec.tiles)
+
+    def call(w):
+        errs = None
+        for _tiles, _comps, errs in mds[w]._run_classes():
+            pass
+        return errs   # small fetch forces every dispatched sub-batch
+
+    vals = _timed_device_rounds(call, len(mds), mp, '16k mosaic dec',
+                                reps=1)
+    tmp = tempfile.mkdtemp()
+    mpath = os.path.join(tmp, 'm16k.j2c')
+    open(mpath, 'wb').write(streams[0])
+    out = os.path.join(tmp, 'out.pgm')
+    bases = _oracle_rounds([ORACLE_EXPAND, '-i', mpath, '-o', out],
+                           mp, rounds=len(vals))
+    ratios = [v / b for v, b in zip(vals, bases)]
+    _emit('decode_to_device_mosaic_16k_256tile', vals, ratios,
+          baseline=statistics.median(bases),
+          extra={'tiles': ntiles, 'sink': 'device-resident',
+                 'batch_tiles': 64,
+                 'tiles_per_s': round(
+                     statistics.median(vals) / mp * ntiles, 1)})
+
+
 def bench_configs_full():
     """BASELINE configs 2-5, both directions, device-compute-only,
     each with its oracle baseline on the same content:
@@ -839,6 +900,9 @@ def bench_configs_full():
 
     # ---- config 5: the mosaic ----
     _mosaic_device_only(n_work)
+    # ...and the >8K device-backed row (round-5 demand): 16K**2
+    # through the sub-batched streaming machinery on the chip
+    bench_mosaic_16k_device(1 + ROUNDS2)
 
 
 def main():

@@ -205,12 +205,17 @@ class FrameWriter:
     threaded_frame_processors.h)."""
 
     def __init__(self, target: Optional[str], num_threads: int,
-                 quiet: bool):
+                 quiet: bool, resilient: bool = False):
         self.target = target
         self.pool = ThreadPoolExecutor(max_workers=max(1, num_threads))
         self.quiet = quiet
         self.count = 0
         self.decode = bool(target) and target.endswith('.ppm')
+        # lossy transport pairs with resilient decode: frames with
+        # missing packets render with broken blocks zeroed instead of
+        # being dropped (enable_resilience,
+        # ojph_codestream_local.cpp:903)
+        self.resilient = resilient
 
     def __call__(self, ts: int, data: bytes):
         idx = self.count
@@ -228,7 +233,7 @@ class FrameWriter:
 
                 from ..tpu.pipeline import decode_tpu
                 from ..utils.imageio import write_pnm
-                planes = decode_tpu(data)
+                planes = decode_tpu(data, resilient=self.resilient)
                 img = np.stack(planes, axis=-1).astype(np.uint8) \
                     if len(planes) >= 3 else planes[0].astype(np.uint8)
                 write_pnm(name if name.endswith('.ppm')
@@ -252,10 +257,11 @@ def serve(addr: str, port: int, src_addr: Optional[str] = None,
           num_packets: int = 5, recv_buf_size: int = 65536,
           blocking: bool = False, quiet: bool = False,
           target: Optional[str] = None,
-          max_frames: Optional[int] = None):
+          max_frames: Optional[int] = None,
+          resilient: bool = False):
     """Receive loop; returns (packets_handler, frames_handler) stats
     after max_frames frames (or forever when None)."""
-    writer = FrameWriter(target, num_threads, quiet)
+    writer = FrameWriter(target, num_threads, quiet, resilient)
     frames = FramesHandler(num_threads + 1, writer)
     packets = PacketsHandler(num_packets, frames)
     sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
@@ -304,7 +310,8 @@ def main(argv=None) -> int:
             blocking=args.get_bool('-blocking', False),
             quiet=args.get_bool('-quiet', False),
             target=args.get('-o'),
-            max_frames=args.get_int('-max_frames'))
+            max_frames=args.get_int('-max_frames'),
+            resilient=args.get_bool('-resilient', False))
         total, trunc, lost = frames.get_stats()
         print(f'frames: {total} total, {trunc} truncated, {lost} lost; '
               f'{packets.get_num_lost_packets()} packets lost')

@@ -67,26 +67,19 @@ def test_mosaic_8k_chunked_sharded():
     t_shard = time.perf_counter() - t0
     assert seen == set(range(ntiles))
 
-    # sequential (single-plan, unsharded) decode of the same stream
-    # for the tiles/s comparison; correctness is spot-checked.  The
-    # whole-64MP single dispatch is the largest allocation in the
-    # suite — under xdist parallel workers it can crash the worker
-    # process (memory spike on a loaded host), so the comparison runs
-    # only in serial sessions; the sharded+chunked substance above
-    # always runs.
-    if os.environ.get('PYTEST_XDIST_WORKER'):
-        print(f'\n8K mosaic: encode(chunked) {t_enc:.1f}s; sharded '
-              f'{ntiles / t_shard:.1f} tiles/s (sequential comparison '
-              'skipped under xdist)')
-        return
-    from openjph_tpu import decode_tpu
+    # sequential comparison: the SAME sub-batched machinery on a
+    # 1-device mesh (memory stays bounded by one sub-batch, so this
+    # runs under xdist too — the whole-64MP single-dispatch variant
+    # it replaces could crash loaded xdist workers)
+    md1 = MosaicDecoder(stream, make_mesh(1))
+    first = {}
     t0 = time.perf_counter()
-    out = decode_tpu(stream)
+    md1.decode_to(lambda ti, planes:
+                  first.setdefault(0, planes[0]) if ti == 0 else None)
     t_seq = time.perf_counter() - t0
-    assert np.array_equal(out[0][:TILE, :TILE],
-                          _tile_content(0, 0, TILE, TILE))
+    assert np.array_equal(first[0], _tile_content(0, 0, TILE, TILE))
     print(f'\n8K mosaic: encode(chunked) {t_enc:.1f}s; sharded '
-          f'{ntiles / t_shard:.1f} tiles/s; sequential '
+          f'{ntiles / t_shard:.1f} tiles/s; sequential(1-dev) '
           f'{ntiles / t_seq:.1f} tiles/s')
 
 
