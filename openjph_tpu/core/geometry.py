@@ -19,7 +19,7 @@ from .markers import Dfs, MainHeader, Cod, Qcd, Siz
 from .types import Rect, ceil_div
 
 
-@dataclass
+@dataclass(slots=True)
 class CodeblockGeom:
     """One codeblock: position within its subband."""
     rect: Rect               # in subband coordinates
@@ -27,7 +27,48 @@ class CodeblockGeom:
     cb_y: int                # row index
 
 
-@dataclass
+class CodeblockGrid:
+    """Lazy codeblock grid: the grid is regular (T.800 B.7 anchoring),
+    so CodeblockGeom objects generate on demand instead of
+    materializing O(blocks) Python objects per tile — at config-5
+    scale (10 GP, ~2.5M codeblocks) the materialized lists alone cost
+    hundreds of MB."""
+    __slots__ = ('rect', 'log_w', 'log_h', 'x_lb', 'y_lb', 'nx', 'ny')
+
+    def __init__(self, rect: Rect, log_w: int, log_h: int,
+                 x_lb: int, y_lb: int, nx: int, ny: int):
+        self.rect = rect
+        self.log_w = log_w
+        self.log_h = log_h
+        self.x_lb = x_lb
+        self.y_lb = y_lb
+        self.nx = nx
+        self.ny = ny
+
+    def __len__(self) -> int:
+        return self.nx * self.ny
+
+    def _make(self, i: int, j: int) -> CodeblockGeom:
+        r = self.rect
+        nw, nh = 1 << self.log_w, 1 << self.log_h
+        return CodeblockGeom(Rect(
+            max(r.x0, self.x_lb + i * nw),
+            max(r.y0, self.y_lb + j * nh),
+            min(r.x1, self.x_lb + (i + 1) * nw),
+            min(r.y1, self.y_lb + (j + 1) * nh)), i, j)
+
+    def __iter__(self):
+        for j in range(self.ny):
+            for i in range(self.nx):
+                yield self._make(i, j)
+
+    def __getitem__(self, k: int) -> CodeblockGeom:
+        if k < 0 or k >= self.nx * self.ny:
+            raise IndexError(k)
+        return self._make(k % self.nx, k // self.nx)
+
+
+@dataclass(slots=True)
 class PrecinctBandInfo:
     """Codeblock index range of one subband inside one precinct
     (subband::get_cb_indices, ojph_subband.cpp:224-276)."""
@@ -37,7 +78,7 @@ class PrecinctBandInfo:
     num_y: int = 0
 
 
-@dataclass
+@dataclass(slots=True)
 class PrecinctGeom:
     x: int                   # precinct column in the resolution grid
     y: int
@@ -45,7 +86,7 @@ class PrecinctGeom:
     bands: List[PrecinctBandInfo] = field(default_factory=list)  # 4 entries
 
 
-@dataclass
+@dataclass(slots=True)
 class SubbandGeom:
     band_num: int            # 0=LL, 1=HL, 2=LH, 3=HH
     rect: Rect               # band coordinates (T.800 eq. B-15)
@@ -62,7 +103,7 @@ class SubbandGeom:
         return self.rect.empty
 
 
-@dataclass
+@dataclass(slots=True)
 class ResolutionGeom:
     res_num: int
     rect: Rect               # resolution coordinates (T.800 eq. B-14)
@@ -85,7 +126,7 @@ class ResolutionGeom:
         return self.num_prec_x * self.num_prec_y
 
 
-@dataclass
+@dataclass(slots=True)
 class TileCompGeom:
     comp_num: int
     rect: Rect               # component-tile rect
@@ -101,7 +142,7 @@ class TileCompGeom:
         return 1 << skipped, 1 << skipped
 
 
-@dataclass
+@dataclass(slots=True)
 class TileGeom:
     idx: int
     rect: Rect
@@ -141,13 +182,8 @@ def _build_subband(rect: Rect, band_num: int, cod: Cod, qcd: Qcd,
     y_lb = (rect.y0 >> sb.log_cb_h) << sb.log_cb_h
     sb.num_cb_x = ceil_div(rect.x1, nb_w) - (rect.x0 >> sb.log_cb_w)
     sb.num_cb_y = ceil_div(rect.y1, nb_h) - (rect.y0 >> sb.log_cb_h)
-    for j in range(sb.num_cb_y):
-        cy0 = max(rect.y0, y_lb + j * nb_h)
-        cy1 = min(rect.y1, y_lb + (j + 1) * nb_h)
-        for i in range(sb.num_cb_x):
-            cx0 = max(rect.x0, x_lb + i * nb_w)
-            cx1 = min(rect.x1, x_lb + (i + 1) * nb_w)
-            sb.blocks.append(CodeblockGeom(Rect(cx0, cy0, cx1, cy1), i, j))
+    sb.blocks = CodeblockGrid(rect, sb.log_cb_w, sb.log_cb_h,
+                              x_lb, y_lb, sb.num_cb_x, sb.num_cb_y)
     return sb
 
 

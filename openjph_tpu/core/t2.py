@@ -19,7 +19,7 @@ from .geometry import ResolutionGeom, TileGeom
 from .types import ceil_div
 
 
-@dataclass
+@dataclass(slots=True)
 class CodedBlock:
     """Per-codeblock Tier-1 <-> Tier-2 exchange record
     (coded_cb_header, ojph_codeblock.h:115-125)."""

@@ -2,13 +2,13 @@
 from dataclasses import dataclass
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, slots=True)
 class Point:
     x: int = 0
     y: int = 0
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, slots=True)
 class Size:
     w: int = 0
     h: int = 0
@@ -18,7 +18,7 @@ class Size:
         return self.w * self.h
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, slots=True)
 class Rect:
     """Half-open rectangle [x0, x1) x [y0, y1) on the canvas."""
     x0: int = 0

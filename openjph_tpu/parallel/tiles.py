@@ -34,6 +34,28 @@ from .mesh import make_mesh
 _SHARD_RUNNERS: Dict[tuple, object] = {}
 
 
+class _MemoPlans(dict):
+    """Compatibility view of MosaicDecoder's per-tile plans: built on
+    first access and memoized (external consumers like bench's
+    cross-variant unification mutate the returned objects, so they
+    must be stable once handed out).  The streaming decode path uses
+    `_fresh_plan` instead and never fills this cache."""
+
+    def __init__(self, md):
+        super().__init__()
+        self._md = md
+
+    def __missing__(self, ti):
+        p = self._md._fresh_plan(ti)
+        self[ti] = p
+        return p
+
+    def values(self):
+        for ti in range(len(self._md.dec.tiles)):
+            self[ti]
+        return super().values()
+
+
 class MosaicDecoder:
     """Decode a multi-tile codestream with tiles sharded over a mesh.
 
@@ -72,9 +94,12 @@ class MosaicDecoder:
         # membership must be geometry-only, so key on the plan with
         # the word buckets struck out, then unify every class to the
         # elementwise max bucket so one traced runner serves all its
-        # tiles.
+        # tiles.  Per-tile plans are NOT retained — at config-5 scale
+        # (10 GP, ~10k tiles) holding them all measured hundreds of
+        # MB; each class keeps its max word buckets and plans rebuild
+        # per sub-batch (`_fresh_plan`, ~1 ms each in record mode).
         self.classes: List[dict] = []
-        self.tile_plans: Dict[int, object] = {}
+        self._tile_cls: Dict[int, int] = {}
         by_key: Dict[tuple, dict] = {}
         for ti in range(len(self.dec.tiles)):
             plan = _build_plan(self.dec, (ti,))
@@ -84,36 +109,51 @@ class MosaicDecoder:
                     '(DFS tiles, >30 bit planes, or multi-pass '
                     'without the native Tier-2 record parser); '
                     'use TpuDecoder')
-            self.tile_plans[ti] = plan
             gk = (tuple((g.gid, g.w, g.h, g.n_pad)
                         for g in plan.groups),) + plan.key[1:]
             cls = by_key.get(gk)
             if cls is None:
-                cls = {'tiles': []}
+                cls = {'idx': len(self.classes), 'tiles': [],
+                       'plan': plan,
+                       '_w': [list(g.words) for g in plan.groups],
+                       '_r': [list(g.rwords) for g in plan.groups]}
                 by_key[gk] = cls
                 self.classes.append(cls)
+            else:
+                for i, g in enumerate(plan.groups):
+                    w, r = cls['_w'][i], cls['_r'][i]
+                    for j in range(3):
+                        w[j] = max(w[j], g.words[j])
+                    for j in range(2):
+                        r[j] = max(r[j], g.rwords[j])
             cls['tiles'].append(ti)
+            self._tile_cls[ti] = cls['idx']
         for cls in self.classes:
-            plans = [self.tile_plans[ti] for ti in cls['tiles']]
-            wmax = [tuple(max(p.groups[i].words[j] for p in plans)
-                          for j in range(3))
-                    for i in range(len(plans[0].groups))]
-            rmax = [tuple(max(p.groups[i].rwords[j] for p in plans)
-                          for j in range(2))
-                    for i in range(len(plans[0].groups))]
-            refine = any(r[0] > 0 for r in rmax)
-            for p in plans:
-                for i, g in enumerate(p.groups):
-                    g.words = wmax[i]
-                    g.rwords = rmax[i]
-                # a tile whose own blocks are all single-pass still
-                # needs refine-mode packing when ANY class member has
-                # refinement passes (the shared runner expects rmeta)
-                p.has_refine = refine
-                p.key = (tuple((g.gid, g.w, g.h, g.n_pad, g.words,
-                                g.rwords)
-                               for g in p.groups),) + p.key[1:]
-            cls['plan'] = plans[0]
+            cls['wmax'] = [tuple(w) for w in cls.pop('_w')]
+            cls['rmax'] = [tuple(r) for r in cls.pop('_r')]
+            # a tile whose own blocks are all single-pass still needs
+            # refine-mode packing when ANY class member has refinement
+            # passes (the shared runner expects rmeta)
+            cls['refine'] = any(r[0] > 0 for r in cls['rmax'])
+            self._unify(cls, cls['plan'])
+        self.tile_plans = _MemoPlans(self)
+
+    def _unify(self, cls, plan):
+        """Apply the class-max word buckets + refine mode to a plan
+        (every plan of a class must share one key <-> one runner)."""
+        for i, g in enumerate(plan.groups):
+            g.words = cls['wmax'][i]
+            g.rwords = cls['rmax'][i]
+        plan.has_refine = cls['refine']
+        plan.key = (tuple((g.gid, g.w, g.h, g.n_pad, g.words,
+                           g.rwords) for g in plan.groups),) \
+            + plan.key[1:]
+        return plan
+
+    def _fresh_plan(self, ti: int):
+        """Rebuild tile ti's plan (class-unified), uncached."""
+        return self._unify(self.classes[self._tile_cls[ti]],
+                           _build_plan(self.dec, (ti,)))
 
     def _runner(self, key, F):
         from ..tpu.pipeline import _raw_t1, _use_pallas
@@ -149,12 +189,13 @@ class MosaicDecoder:
                 F = max(_bucket(T, lo=8), self.ndev)
                 with trace.stage('mosaic.host_prep'):
                     # tile i's lanes are frame-slot i; padding slots
-                    # replicate tile 0 (dropped on assembly)
+                    # replicate tile 0 (dropped on assembly).  Plans
+                    # build fresh per sub-batch and die with it.
+                    sub_plans = [self._fresh_plan(ti) for ti in tiles]
                     args = _pack(
-                        [(self.dec, self.tile_plans[ti])
-                         for ti in tiles]
-                        + [(self.dec, self.tile_plans[tiles[0]])
-                           ] * (F - T))
+                        [(self.dec, p) for p in sub_plans]
+                        + [(self.dec, sub_plans[0])] * (F - T))
+                    del sub_plans
                 runner = self._runner(plan.key, F)
                 with trace.stage('mosaic.dispatch'):
                     errs, outs = runner(*args)
@@ -280,17 +321,21 @@ class MosaicEncoder:
         trs = build_tile_grid(enc.siz)
         geoms = [build_tile(enc.hdr, i, tr)
                  for i, tr in enumerate(trs)]
-        plans = ([enc._build_enc_plan(g) for g in geoms]
-                 if native.have_native() else [None])
-        if any(p is None for p in plans):
-            if fallback_planes is None:
-                raise ValueError('stream not eligible for the fused '
-                                 'encode path; chunked ingest needs it')
-            return enc.encode(fallback_planes)  # scalar path; one host
-        # geometry classes (encode plan keys are geometry-only)
+        # geometry classes (encode plan keys are geometry-only); plans
+        # build one at a time and only the per-class representative is
+        # kept — holding all per-tile plans measured ~50 KB/tile at
+        # config-5 scale (hundreds of MB at 10 GP)
         classes: List[dict] = []
         by_key: Dict[tuple, dict] = {}
-        for ti, plan in enumerate(plans):
+        for ti, g in enumerate(geoms):
+            plan = (enc._build_enc_plan(g)
+                    if native.have_native() else None)
+            if plan is None:
+                if fallback_planes is None:
+                    raise ValueError(
+                        'stream not eligible for the fused encode '
+                        'path; chunked ingest needs it')
+                return enc.encode(fallback_planes)  # scalar; one host
             cls = by_key.get(plan.key)
             if cls is None:
                 cls = {'plan': plan, 'tiles': []}

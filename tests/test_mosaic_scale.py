@@ -148,11 +148,14 @@ def test_mosaic_32k_memory_bounded():
     import threading
 
     def vmrss_mb():
+        anon = total = 0.0
         with open('/proc/self/status') as f:
             for line in f:
                 if line.startswith('VmRSS:'):
-                    return int(line.split()[1]) / 1024.0
-        return 0.0
+                    total = int(line.split()[1]) / 1024.0
+                elif line.startswith('RssAnon:'):
+                    anon = int(line.split()[1]) / 1024.0
+        return anon, total
 
     def smooth_tile(y0, x0, h, w):
         # low-entropy content: the memory claim under test is the
@@ -165,13 +168,15 @@ def test_mosaic_32k_memory_bounded():
         xx = (np.arange(x0, x0 + w, dtype=np.int64)[None, :])
         return (((yy * 5 + xx * 3) >> 6) % 256).astype(np.int32)
 
-    rss0 = vmrss_mb()
-    peak = [rss0]
+    anon0, rss0 = vmrss_mb()
+    peak = [anon0, rss0]
     stop = threading.Event()
 
     def sampler():
         while not stop.is_set():
-            peak[0] = max(peak[0], vmrss_mb())
+            a, t = vmrss_mb()
+            peak[0] = max(peak[0], a)
+            peak[1] = max(peak[1], t)
             stop.wait(0.2)
 
     th = threading.Thread(target=sampler, daemon=True)
@@ -215,12 +220,13 @@ def test_mosaic_32k_memory_bounded():
         stop.set()
         th.join(timeout=2)
 
-    delta = peak[0] - rss0
+    delta = peak[1] - rss0
     rec = {'image': f'{N32K}x{N32K}', 'tiles': ntiles,
            'stream_mb': round(len(stream) / 1e6, 1),
            'encode_chunked_s': round(t_enc, 1),
            'decode_to_s': round(t_dec, 1),
            'tiles_per_s_decode': round(ntiles / t_dec, 1),
+           'rss_anon_delta_mb': round(peak[0] - anon0, 1),
            'rss_peak_delta_mb': round(delta, 1),
            'backend': 'cpu-8dev-virtual-mesh'}
     _persist_row(rec)
