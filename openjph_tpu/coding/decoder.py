@@ -160,6 +160,14 @@ def decode_codeblock(coded_data: bytes, missing_msbs: int, num_passes: int,
     oracle-class speed there) and falls back to the pure-Python
     reference below; tests/test_native_guards.py pins the two
     bit-identical."""
+    if len(coded_data) < lengths1 + (lengths2 if num_passes > 1
+                                     else 0):
+        # truncated coded bytes (reference: zeroed block under
+        # resilience, ojph_precinct.cpp:558-568; strict raises the
+        # wrong-codeblock-length error) — checked HERE so the C++
+        # port never reads past the caller's buffer
+        raise ValueError('ojph error 0x00080002: wrong codeblock '
+                         'length')
     from .. import native
     out = native.decode_codeblock(coded_data, missing_msbs, num_passes,
                                   lengths1, lengths2, width, height,

@@ -31,7 +31,8 @@ from ..tpu.pipeline import (TpuDecoder, _bucket, _build_plan,
 from ..utils import trace
 from .mesh import make_mesh
 
-_SHARD_RUNNERS: Dict[tuple, object] = {}
+from ..tpu.pipeline import _LruCache
+_SHARD_RUNNERS = _LruCache()
 
 
 class _MemoPlans(dict):

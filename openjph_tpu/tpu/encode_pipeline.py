@@ -93,7 +93,8 @@ class _EncPlan:
     # (encode_cleanup_core) over the same groups
 
 
-_ENC_RUNNERS: Dict[tuple, object] = {}
+from .pipeline import _LruCache
+_ENC_RUNNERS = _LruCache()
 
 
 class TpuEncoder(Encoder):

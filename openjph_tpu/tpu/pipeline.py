@@ -160,7 +160,40 @@ class _Plan:
     has_refine: bool = False
 
 
-_RUNNERS: Dict[tuple, object] = {}
+class _LruCache(dict):
+    """Bounded runner cache: compiled executables are 10s of MB
+    each, and adversarial/mutated streams can mint a fresh plan key
+    per stream (every key compiles) — an unbounded dict is a memory
+    DoS the fuzzer actually hit (LLVM OOM after ~600 corrupt-stream
+    compiles).  Real serving workloads use a handful of keys, so a
+    small LRU loses nothing (the analogue of the reference fuzz
+    targets' work-explosion guards)."""
+
+    def __init__(self, cap: int = 48):
+        super().__init__()
+        self._cap = cap
+        self._order = []
+        import threading
+        self._lock = threading.Lock()
+
+    def get(self, k, default=None):
+        with self._lock:
+            if k in self:
+                self._order.remove(k)
+                self._order.append(k)
+                return dict.__getitem__(self, k)
+            return default
+
+    def __setitem__(self, k, v):
+        with self._lock:
+            if k not in self:
+                self._order.append(k)
+                while len(self._order) > self._cap:
+                    dict.__delitem__(self, self._order.pop(0))
+            dict.__setitem__(self, k, v)
+
+
+_RUNNERS = _LruCache()
 
 
 def _res_band_list(res, r: int):
@@ -533,6 +566,12 @@ def _build_plan_records(dec, tile_indices=None) -> Optional[_Plan]:
         # reference pass-count clamps (decode_codeblock)
         npss = np.where(live & ((l1 == 0) | (mm >= 29)), 1, npss)
         l1 = np.where(npss <= 1, 0, l1)
+        # coded ranges must lie inside the stream: a corrupt header
+        # can declare lengths past EOF, and the native pack reads the
+        # (pos, l0 [+l1]) ranges with C pointers — bounds-check here,
+        # not there (fuzz-found; slow path raises the coded error)
+        if bool(np.any(live & (poss + l0 + l1 > buf.shape[0]))):
+            return None
         last = np.where(live, poss + l0, 2)
         scup = ((buf[last - 1].astype(np.int32) << 4)
                 + (buf[last - 2] & 0xF))
@@ -1395,6 +1434,7 @@ class TpuDecoder(Decoder):
         lcups = np.array([cb.pass_length[0] for cb, _ in items], np.int64)
         missings = np.array([cb.missing_msbs for cb, _ in items], np.int32)
         scups = np.array([(d[lc - 1] << 4) + (d[lc - 2] & 0xF)
+                          if 2 <= lc <= len(d) else 0
                           for d, lc in zip(datas, lcups)], np.int64)
         npasses = np.array([cb.num_passes for cb, _ in items], np.int32)
         len2s = np.array([cb.pass_length[1] if cb.num_passes > 1 else 0
@@ -1404,7 +1444,9 @@ class TpuDecoder(Decoder):
         # reference pass-count clamps (decode_codeblock / decoder32.cpp)
         npasses = np.where((len2s == 0) | (missings >= 29), 1, npasses)
         len2s = np.where(npasses <= 1, 0, len2s)
-        bad = (scups < 2) | (scups > lcups) | (scups > 4079)
+        lens = np.array([len(d) for d in datas], np.int64)
+        bad = (scups < 2) | (scups > lcups) | (scups > 4079) \
+            | (lens < lcups + len2s)
         if bad.any():
             if not self.resilient:
                 raise ValueError('invalid scup')
