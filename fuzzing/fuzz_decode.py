@@ -123,6 +123,12 @@ def run(iterations=1000, seed=0, quiet=False, tpu_path=False,
         import openjph_tpu.tpu.pipeline as P
         P._DEVICE_UNSTUFF = True
         from openjph_tpu.tpu.pipeline import decode_tpu
+        # corrupt streams mint a fresh plan key (and so a compile)
+        # per iteration; keep the runner LRU tiny and periodically
+        # drop jax's global trace/executable caches or the CPU
+        # compiler eventually OOMs (fuzz-found; mirrors the reference
+        # fuzz targets' work-explosion guards)
+        P._RUNNERS._cap = 8
     seeds = make_seeds()
     if seed_subset:
         seeds = seeds[::max(1, len(seeds) // seed_subset)][:seed_subset]
@@ -189,6 +195,9 @@ def run(iterations=1000, seed=0, quiet=False, tpu_path=False,
                                  f'resilient, iteration {it}')
             except (ValueError, EOFError):
                 pass
+        if tpu_path and it and it % 200 == 0:
+            import jax as _jax
+            _jax.clear_caches()
         if not quiet and it and it % 100 == 0:
             print(f'{it}: {stats}')
     if not quiet:

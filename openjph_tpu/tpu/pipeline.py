@@ -189,7 +189,14 @@ class _LruCache(dict):
             if k not in self:
                 self._order.append(k)
                 while len(self._order) > self._cap:
-                    dict.__delitem__(self, self._order.pop(0))
+                    old = dict.pop(self, self._order.pop(0))
+                    # dropping the wrapper is not enough: jax's
+                    # global jit cache holds the compiled executable
+                    # until the jitted fn's own cache is cleared
+                    try:
+                        old.clear_cache()
+                    except Exception:  # noqa: BLE001
+                        pass
             dict.__setitem__(self, k, v)
 
 
