@@ -195,9 +195,15 @@ def run(iterations=1000, seed=0, quiet=False, tpu_path=False,
                                  f'resilient, iteration {it}')
             except (ValueError, EOFError):
                 pass
-        if tpu_path and it and it % 200 == 0:
+        if tpu_path and it and it % 25 == 0:
+            # mutated streams compile a fresh runner nearly every
+            # iteration (~30-50 MB each incl. jax's trace caches);
+            # clear aggressively or the CPU compiler OOMs within
+            # ~100 iterations under a container memory limit
+            import gc
             import jax as _jax
             _jax.clear_caches()
+            gc.collect()
         if not quiet and it and it % 100 == 0:
             print(f'{it}: {stats}')
     if not quiet:
@@ -208,5 +214,23 @@ def run(iterations=1000, seed=0, quiet=False, tpu_path=False,
 if __name__ == '__main__':
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
     sd = int(sys.argv[2]) if len(sys.argv) > 2 else 0
-    run(iters, sd, tpu_path='--tpu' in sys.argv,
-        seed_subset=6 if '--tpu' in sys.argv else None)
+    tpu = '--tpu' in sys.argv
+    if tpu and iters > 150 and '--child' not in sys.argv:
+        # --tpu mode compiles a fresh runner for nearly every mutated
+        # stream; XLA-CPU's compile arenas never shrink in-process
+        # (clear_caches bounds but cannot reclaim), so long campaigns
+        # run as fresh-process batches — the libFuzzer-style restart
+        # discipline
+        import subprocess
+        at = 0
+        while at < iters:
+            n = min(150, iters - at)
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), str(n),
+                 str(sd + at), '--tpu', '--child'])
+            if r.returncode != 0:
+                sys.exit(r.returncode)
+            at += n
+        print(f'done: {iters} iterations in fresh-process batches')
+        sys.exit(0)
+    run(iters, sd, tpu_path=tpu, seed_subset=6 if tpu else None)
