@@ -273,85 +273,104 @@ def test_mosaic_100k_memory_flat():
         xx = (np.arange(x0, x0 + w, dtype=np.int64)[None, :])
         return (((yy * 5 + xx * 3) >> 6) % 256).astype(np.int32)
 
-    anon0, tot0 = rss_mb()
-    peak = [anon0, tot0]
-    stop = threading.Event()
+    mesh = make_mesh()
 
-    def sampler():
-        while not stop.is_set():
-            a, t = rss_mb()
-            peak[0] = max(peak[0], a)
-            peak[1] = max(peak[1], t)
-            stop.wait(0.5)
+    def phase(n_img):
+        """One file-backed encode_chunked -> mmap decode_to run at
+        n_img**2; returns (anon_delta, vmrss_delta, figures)."""
+        anon0, tot0 = rss_mb()
+        peak = [anon0, tot0]
+        stop = threading.Event()
 
-    th = threading.Thread(target=sampler, daemon=True)
-    th.start()
-    path = os.path.join(tempfile.mkdtemp(), 'mosaic100k.j2c')
-    try:
-        mesh = make_mesh()
-        me = MosaicEncoder(mesh, batch_tiles=32, reversible=True,
-                           num_decomps=2,
-                           tile_size=(TILE100, TILE100))
+        def sampler():
+            while not stop.is_set():
+                a, t = rss_mb()
+                peak[0] = max(peak[0], a)
+                peak[1] = max(peak[1], t)
+                stop.wait(0.5)
 
-        def reader(ti, geom):
-            r = geom.comps[0].rect
-            return [smooth_tile(r.y0, r.x0, r.h, r.w)]
+        th = threading.Thread(target=sampler, daemon=True)
+        th.start()
+        path = os.path.join(tempfile.mkdtemp(), f'mosaic{n_img}.j2c')
+        try:
+            me = MosaicEncoder(mesh, batch_tiles=32, reversible=True,
+                               num_decomps=2,
+                               tile_size=(TILE100, TILE100))
 
-        t0 = time.perf_counter()
-        with open(path, 'wb') as f:
-            me.encode_chunked(reader, (N100K, N100K), num_comps=1,
-                              out=f)
-        t_enc = time.perf_counter() - t0
-        stream_mb = os.path.getsize(path) / 1e6
-        assert stream_mb > 1.0
-
-        with open(path, 'rb') as fobj:
-            mm = mmap.mmap(fobj.fileno(), 0, access=mmap.ACCESS_READ)
-            md = MosaicDecoder(mm, mesh, batch_tiles=32)
-            ntiles = len(md.dec.tiles)
-            assert ntiles == (-(-N100K // TILE100)) ** 2  # 98^2
-            seen = 0
-            rng_ = np.random.RandomState(11)
-            check = set(rng_.choice(ntiles, 24,
-                                    replace=False).tolist()) \
-                | {0, ntiles - 1}
-
-            def sink(ti, planes):
-                nonlocal seen
-                seen += 1
-                if ti in check:
-                    r = md.dec.tiles[ti].geom.comps[0].rect
-                    assert np.array_equal(
-                        planes[0],
-                        smooth_tile(r.y0, r.x0, r.h, r.w)), \
-                        f'tile {ti} mismatch'
+            def reader(ti, geom):
+                r = geom.comps[0].rect
+                return [smooth_tile(r.y0, r.x0, r.h, r.w)]
 
             t0 = time.perf_counter()
-            md.decode_to(sink)
-            t_dec = time.perf_counter() - t0
-            assert seen == ntiles
-    finally:
-        stop.set()
-        th.join(timeout=2)
+            with open(path, 'wb') as f:
+                me.encode_chunked(reader, (n_img, n_img),
+                                  num_comps=1, out=f)
+            t_enc = time.perf_counter() - t0
+            stream_mb = os.path.getsize(path) / 1e6
+            assert stream_mb > 1.0
 
-    d_anon = peak[0] - anon0
-    d_tot = peak[1] - tot0
+            with open(path, 'rb') as fobj:
+                mm = mmap.mmap(fobj.fileno(), 0,
+                               access=mmap.ACCESS_READ)
+                md = MosaicDecoder(mm, mesh, batch_tiles=32)
+                ntiles = len(md.dec.tiles)
+                assert ntiles == (-(-n_img // TILE100)) ** 2
+                seen = 0
+                rng_ = np.random.RandomState(11)
+                check = set(rng_.choice(ntiles, 24,
+                                        replace=False).tolist()) \
+                    | {0, ntiles - 1}
+
+                def sink(ti, planes):
+                    nonlocal seen
+                    seen += 1
+                    if ti in check:
+                        r = md.dec.tiles[ti].geom.comps[0].rect
+                        assert np.array_equal(
+                            planes[0],
+                            smooth_tile(r.y0, r.x0, r.h, r.w)), \
+                            f'tile {ti} mismatch'
+
+                t0 = time.perf_counter()
+                md.decode_to(sink)
+                t_dec = time.perf_counter() - t0
+                assert seen == ntiles
+        finally:
+            stop.set()
+            th.join(timeout=2)
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
+        return (peak[0] - anon0, peak[1] - tot0,
+                dict(tiles=ntiles, stream_mb=stream_mb, t_enc=t_enc,
+                     t_dec=t_dec))
+
+    # same-context 1 GP base first: cold-start overhead (first
+    # compiles, allocator arenas) lands in THIS phase, so the 10 GP
+    # delta that follows is the pure incremental cost — comparing
+    # against a row recorded in a different process warmth would make
+    # the assertion context-dependent
+    base_anon, _, base_fig = phase(N32K)
+    d_anon, d_tot, fig = phase(N100K)
+    ntiles = fig['tiles']
+
     rec = {'image': f'{N100K}x{N100K}', 'tiles': ntiles,
-           'stream_mb': round(stream_mb, 1),
-           'encode_chunked_s': round(t_enc, 1),
-           'decode_to_s': round(t_dec, 1),
-           'tiles_per_s_decode': round(ntiles / t_dec, 1),
+           'stream_mb': round(fig['stream_mb'], 1),
+           'encode_chunked_s': round(fig['t_enc'], 1),
+           'decode_to_s': round(fig['t_dec'], 1),
+           'tiles_per_s_decode': round(ntiles / fig['t_dec'], 1),
            'rss_anon_delta_mb': round(d_anon, 1),
            'rss_peak_delta_mb': round(d_tot, 1),
+           'base_1gp_anon_delta_mb': round(base_anon, 1),
            'stream_on_disk': True,
            'backend': 'cpu-8dev-virtual-mesh'}
-    rows = _persist_row(rec)
-    print('\n100K mosaic:', rec)
-    # flat-memory contract vs the recorded 1 GP row
-    row1 = next((r for r in rows if r['image'] == f'{N32K}x{N32K}'),
-                None)
-    if row1 is not None:
-        base = row1.get('rss_anon_delta_mb',
-                        row1['rss_peak_delta_mb'])
-        assert d_anon <= 1.35 * base + 256, \
-            f'10 GP anon delta {d_anon:.0f} MB vs 1 GP {base:.0f} MB'
+    _persist_row(rec)
+    print('\n100K mosaic:', rec,
+          f'(in-process 1 GP base: {base_anon:.0f} MB anon)')
+    # flat-memory contract: 10x the pixels / 9.4x the tiles may cost
+    # at most ~1.35x the same-context 1 GP delta (+256 MB slack for
+    # the O(tiles) records/geometry metadata)
+    assert d_anon <= 1.35 * base_anon + 256, \
+        f'10 GP anon delta {d_anon:.0f} MB vs in-process 1 GP ' \
+        f'{base_anon:.0f} MB'
